@@ -1,0 +1,171 @@
+"""Tests for the XLA encode/decode pipeline (lzs_tpu.ops).
+
+Byte-exactness is asserted against the NumPy executable spec (itself pinned
+to the reference C encoders) across literal-only, RLE/extension-nibble,
+window-limit, and mixed workloads, plus batch (vmap) and edge cases.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lzs_tpu import reference as ref
+from lzs_tpu import spec
+from lzs_tpu.ops import decode as dec_ops
+from lzs_tpu.ops import encode as enc_ops
+
+from golden import (GOLDEN_COMPRESSED, GOLDEN_PLAINTEXT,
+                    uncompressible_sequence)
+
+
+def jax_encode(data: bytes, block: int = 2048) -> bytes:
+    x = np.zeros(block, np.uint8)
+    x[:len(data)] = np.frombuffer(data, np.uint8)
+    comp, nbytes = enc_ops.encode_block(jnp.asarray(x), jnp.int32(len(data)))
+    return bytes(np.asarray(comp)[:int(nbytes)])
+
+
+def jax_decode(data: bytes, out_cap: int = 4096,
+               multi_stream: bool = False) -> bytes:
+    buf = np.frombuffer(data, np.uint8)
+    out, out_len, _ = dec_ops.decode_block(
+        jnp.asarray(buf), jnp.int32(len(buf)), out_cap=out_cap,
+        multi_stream=multi_stream)
+    return bytes(np.asarray(out)[:int(out_len)])
+
+
+CASES = [
+    ("empty", b""),
+    ("one", b"Q"),
+    ("two_same", b"XX"),
+    ("three_same", b"XXX"),
+    ("golden", GOLDEN_PLAINTEXT),
+    ("uncompressible", uncompressible_sequence()),
+    ("rle_long", b"A" * 1500),
+    ("rle_boundary8", b"ABCD" + b"Z" * 9),
+    ("rle_nibble_edge15", b"Q" + b"Q" * 23),      # ext rest = exactly 15
+    ("rle_nibble_edge30", b"Q" + b"Q" * 38),      # two full nibbles
+    ("alternating", b"ab" * 700),
+    ("text", (GOLDEN_PLAINTEXT * 5)[:1900]),
+]
+
+
+@pytest.mark.parametrize("name,data", CASES)
+def test_encode_matches_oracle(name, data):
+    assert jax_encode(data) == ref.lzs_compress(data)
+
+
+@pytest.mark.parametrize("name,data", CASES)
+def test_decode_roundtrip(name, data):
+    stream = ref.lzs_compress(data)
+    assert jax_decode(stream) == data
+
+
+def test_golden_vector():
+    assert jax_encode(GOLDEN_PLAINTEXT, block=1024) == GOLDEN_COMPRESSED
+    assert jax_decode(GOLDEN_COMPRESSED) == GOLDEN_PLAINTEXT
+
+
+def test_random_fuzz_vs_oracle():
+    rng = random.Random(123)
+    for trial in range(10):
+        parts = []
+        for _ in range(rng.randrange(1, 25)):
+            k = rng.randrange(4)
+            if k == 0:
+                parts.append(bytes(rng.randrange(256)
+                                   for _ in range(rng.randrange(1, 50))))
+            elif k == 1:
+                parts.append(bytes([rng.randrange(256)])
+                             * rng.randrange(1, 120))
+            elif k == 2:
+                parts.append(b"lorem ipsum dolor " * rng.randrange(1, 6))
+            else:
+                parts.append(bytes([rng.randrange(4)])
+                             * rng.randrange(1, 20))
+        data = b"".join(parts)[:2048]
+        expect = ref.lzs_compress(data)
+        got = jax_encode(data)
+        assert got == expect, f"trial {trial} len {len(data)}"
+        assert jax_decode(expect) == data
+
+
+def test_window_limit_2047():
+    # match at offset exactly 2047 is usable; offset 2048 is not
+    pat = b"ZYXWVU"
+    far = pat + bytes((i * 31 + 7) % 251 for i in range(2047 - len(pat))) + pat
+    assert jax_encode(far, block=4096) == ref.lzs_compress(far)
+    farther = pat + bytes((i * 31 + 7) % 251
+                          for i in range(2048 - len(pat))) + pat
+    assert jax_encode(farther, block=4096) == ref.lzs_compress(farther)
+
+
+def test_batch_vmap():
+    enc = enc_ops.make_encoder(512)
+    datas = [b"hello world " * 20, b"A" * 400, bytes(range(256)),
+             b"", b"xyz"]
+    B = len(datas)
+    x = np.zeros((B, 512), np.uint8)
+    n = np.zeros(B, np.int32)
+    for b, d in enumerate(datas):
+        x[b, :len(d)] = np.frombuffer(d, np.uint8)
+        n[b] = len(d)
+    comp, nbytes = enc(jnp.asarray(x), jnp.asarray(n))
+    comp, nbytes = np.asarray(comp), np.asarray(nbytes)
+    streams = [bytes(comp[b][:nbytes[b]]) for b in range(B)]
+    for d, s in zip(datas, streams):
+        assert s == ref.lzs_compress(d)
+
+    cap = comp.shape[1]
+    dec = dec_ops.make_decoder(cap, 512)
+    cbuf = np.zeros((B, cap), np.uint8)
+    for b, s in enumerate(streams):
+        cbuf[b, :len(s)] = np.frombuffer(s, np.uint8)
+    out, out_len, markers = dec(jnp.asarray(cbuf), jnp.asarray(nbytes))
+    for b, d in enumerate(datas):
+        assert bytes(np.asarray(out)[b][:int(out_len[b])]) == d
+        assert int(markers[b]) == 1
+
+
+def test_multi_stream_decode():
+    a, b = b"first stream data " * 3, b"second one " * 5
+    stream = ref.lzs_compress(a) + ref.lzs_compress(b)
+    assert jax_decode(stream, multi_stream=True) == a + b
+    assert jax_decode(stream, multi_stream=False) == a
+
+
+def test_zero_fill_corrupt_offset():
+    w = ref.BitWriter()
+    w.put(1, 1); w.put(1, 1); w.put(9, 7)   # offset 9 with empty history
+    w.put(0b1100, 4)                        # length 5
+    w.put(spec.END_MARKER_VALUE, spec.END_MARKER_BITS)
+    w.pad_to_byte()
+    assert jax_decode(w.getvalue()) == b"\x00" * 5
+
+
+def test_truncated_stream_stops_cleanly():
+    stream = ref.lzs_compress(b"some data to compress some data")
+    for cut in range(len(stream)):
+        out = jax_decode(stream[:cut])
+        # must be a prefix of the full decode, never garbage or a crash
+        full = ref.lzs_decompress(stream)
+        assert full.startswith(out)
+
+
+def test_output_capacity_clamp():
+    data = b"R" * 300
+    stream = ref.lzs_compress(data)
+    out = jax_decode(stream, out_cap=100)
+    assert out == data[:100]
+
+
+@pytest.mark.parametrize("name,data", [
+    ("mixed", (GOLDEN_PLAINTEXT + b"A" * 500 + bytes(range(256)))[:1500]),
+    ("rle", b"B" * 1999),
+])
+def test_cross_reference_c(ref_driver, name, data):
+    assert jax_encode(data) == ref_driver("c", data)
+    assert ref_driver("d", jax_encode(data)) == data
