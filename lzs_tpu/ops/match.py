@@ -49,7 +49,9 @@ def _chunk_scores(x: jnp.ndarray, n: jnp.ndarray, d0: int, dc: int,
     # first-mismatch position at-or-after i, per column: reverse cummin
     mm_pos = jnp.where(valid, _BIG, i)
     nm = jnp.flip(jax.lax.cummin(jnp.flip(mm_pos, 0), axis=0), 0)
-    runlen = nm - i                                           # exact, >= 0
+    # clamp to block end: with no sentinel row past N, a run matching
+    # through the final row would otherwise read as unbounded
+    runlen = jnp.minimum(nm - i, n - i)                       # exact, >= 0
     score = jnp.minimum(runlen, cap)
     key = score * 2048 + (2048 - d)                           # unique per d
     col = jnp.argmax(key, axis=1)

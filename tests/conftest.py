@@ -6,12 +6,19 @@ run anywhere. This must happen before jax is imported by any test module.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The container's sitecustomize registers the axon TPU plugin and pins
+# jax_platforms before conftest runs; override it back to CPU so tests run
+# on the virtual 8-device host platform.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess
