@@ -1,10 +1,16 @@
 """Full LZS encode pipeline (bytes -> bitstream) as a jittable function.
 
-Stages: best-match table (match.py) -> token chain + emission units
-(tokenize.py) -> prefix-sum bit pack (bitpack.py) -> end marker + padding.
-Output is byte-identical to the reference C encoders for any input
-(policy verified in tests against lzs_compress / lzs_simple_compress /
-the incremental CLI).
+Stages: best-match table (sortmatch.py, sort-based; match.py exhaustive
+variant selectable) -> token chain + emission units (tokenize.py) ->
+prefix-sum bit pack (bitpack.py) -> end marker + padding. Output is
+byte-identical to the reference C encoders for any input (policy verified
+in tests against lzs_compress / lzs_simple_compress / the incremental CLI).
+
+``encode_block_sync`` additionally emits decode sync metadata: token-start
+records (bit offset, output offset) chosen every ~``sync_k`` parse steps,
+so the container-format decoder can parse one stream with thousands of
+independent lanes (see decode2.py). Records live in the container framing
+only — the LZS payload stays reference-compatible.
 """
 
 from __future__ import annotations
@@ -15,51 +21,138 @@ import jax
 import jax.numpy as jnp
 
 from .. import spec
-from . import bitpack, match, tokenize
+from . import bitpack, match, sortmatch, tokenize
+
+#: nibbles consumed per parse step inside an extension run (decode2 contract)
+NIBBLES_PER_STEP = 8
+#: default parse-cost budget per sync interval
+SYNC_K = 768
 
 
 def cap_bytes(block: int) -> int:
-    """Static compressed-output capacity for a block of ``block`` bytes."""
-    return spec.compressed_max(block) + 8
+    """Static compressed-output capacity for a block of ``block`` bytes
+    (multiple of 4, with slack for the word-granular packer)."""
+    return (spec.compressed_max(block) + 11) & ~3
 
 
-@functools.partial(jax.jit, static_argnames=("window", "cap", "chunk"))
+def max_token_cost(block: int) -> int:
+    """Parse steps of the costliest single token: head + nibble groups."""
+    q = max(0, -(-(block - spec.MAX_SHORT_LENGTH)
+                 // spec.MAX_EXTENDED_LENGTH))
+    return 1 + -(-q // NIBBLES_PER_STEP)
+
+
+def sync_slots(block: int, sync_k: int = SYNC_K) -> int:
+    """Static number of sync-record slots for a block."""
+    return -(-(block + 2) // sync_k) + 1
+
+
+def _pipeline(x, n, window, cap, chunk, backend):
+    x = x.astype(jnp.int32)
+    if backend == "sort":
+        score, off, full = sortmatch.best_matches(
+            x, n, window=window, cap=cap, chunk=chunk)
+    else:
+        score, off, full = match.best_matches(
+            x, n, window=window, cap=cap, chunk=min(chunk, 256))
+    value, width, starts, length = tokenize.emission_units(
+        x, n, score, off, full)
+    value = jnp.concatenate([value, jnp.array([spec.END_MARKER_VALUE],
+                                              jnp.int32)])
+    width = jnp.concatenate([width, jnp.array([spec.END_MARKER_BITS],
+                                              jnp.int32)])
+    comp, total_bits, offs = bitpack.pack_bits(value, width,
+                                               cap_bytes(x.shape[0]))
+    nbytes = (total_bits + 7) >> 3
+    return comp, nbytes, total_bits, offs, width, starts
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("window", "cap", "chunk", "backend"))
 def encode_block(x: jnp.ndarray, n: jnp.ndarray, *,
                  window: int = spec.WINDOW_SIZE,
                  cap: int = spec.SEARCH_MATCH_MAX,
-                 chunk: int = 256):
+                 chunk: int = 4096, backend: str = "sort"):
     """Encode one block.
 
     Args:
       x: uint8/int32[N] block contents (only the first ``n`` bytes matter).
       n: int32 scalar true length.
+      backend: "sort" (fast path) or "exhaustive" (brute-force reference
+        kernel); both produce identical bytes.
 
     Returns:
       (comp: uint8[cap_bytes(N)], nbytes: int32) — the stream including the
       end marker and zero padding to a byte boundary.
     """
-    x = x.astype(jnp.int32)
-    score, off, full = match.best_matches(x, n, window=window, cap=cap,
-                                          chunk=chunk)
-    value, width = tokenize.emission_units(x, n, score, off, full)
-    # append the end marker as one more unit
-    value = jnp.concatenate([value, jnp.array([spec.END_MARKER_VALUE],
-                                              jnp.int32)])
-    width = jnp.concatenate([width, jnp.array([spec.END_MARKER_BITS],
-                                              jnp.int32)])
-    comp, total_bits = bitpack.pack_bits(value, width, cap_bytes(x.shape[0]))
-    nbytes = (total_bits + 7) >> 3
+    comp, nbytes, _, _, _, _ = _pipeline(x, n, window, cap, chunk, backend)
     return comp, nbytes
 
 
+@functools.partial(
+    jax.jit, static_argnames=("window", "cap", "chunk", "backend", "sync_k"))
+def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
+                      window: int = spec.WINDOW_SIZE,
+                      cap: int = spec.SEARCH_MATCH_MAX,
+                      chunk: int = 4096, backend: str = "sort",
+                      sync_k: int = SYNC_K):
+    """Encode one block and emit parse sync records.
+
+    Returns:
+      comp: uint8[cap_bytes(N)], nbytes: int32,
+      sync_bit: int32[I] bit offset of each sync token head,
+      sync_out: int32[I] output byte offset of each sync token head,
+      nsync: int32 number of valid records (remaining slots hold the
+        stream-end sentinel: sync_bit = total token bits, sync_out = n).
+    """
+    npos = x.shape[0]
+    comp, nbytes, total_bits, offs, width, starts = _pipeline(
+        x, n, window, cap, chunk, backend)
+
+    i = jnp.arange(npos, dtype=jnp.int32)
+    # parse cost per position: head = 1; extension-nibble group = 1 per
+    # NIBBLES_PER_STEP nibbles (decode2 consumes nibble runs 8 at a time)
+    is_nib = (~starts) & (width[:npos] == 4)
+    owner_i = jax.lax.cummax(jnp.where(starts, i, -1))
+    t = i - owner_i - 1
+    cost = jnp.where(starts, 1,
+                     jnp.where(is_nib & (t % NIBBLES_PER_STEP == 0), 1, 0))
+    cc = jnp.cumsum(cost) - cost              # exclusive
+    b = cc // sync_k
+    cb = jax.lax.cummax(jnp.where(starts, b, -1))
+    cbprev = jnp.concatenate([jnp.full(1, -1, jnp.int32), cb[:-1]])
+    boundary = starts & (b > cbprev)
+
+    nslots = sync_slots(npos, sync_k)
+    rank = jnp.cumsum(boundary) - 1
+    dest = jnp.where(boundary, rank, nslots)
+    # sentinel: end of token bits (before padding) / end of output
+    end_bits = total_bits - spec.END_MARKER_BITS
+    sync_bit = jnp.full(nslots, 0, jnp.int32).at[dest].set(
+        offs[:npos], mode="drop")
+    sync_out = jnp.full(nslots, 0, jnp.int32).at[dest].set(i, mode="drop")
+    nsync = jnp.sum(boundary.astype(jnp.int32))
+    slot = jnp.arange(nslots, dtype=jnp.int32)
+    sync_bit = jnp.where(slot < nsync, sync_bit, end_bits)
+    sync_out = jnp.where(slot < nsync, sync_out, n)
+    return comp, nbytes, sync_bit, sync_out, nsync
+
+
 def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
-                 cap: int = spec.SEARCH_MATCH_MAX, chunk: int = 256):
+                 cap: int = spec.SEARCH_MATCH_MAX, chunk: int = 4096,
+                 backend: str = "sort", sync: bool = False,
+                 sync_k: int = SYNC_K):
     """Return a jitted encoder over fixed block size, vmapped over a batch.
 
-    The returned callable maps (uint8[B, block], int32[B]) ->
-    (uint8[B, cap_bytes], int32[B]).
+    Maps (uint8[B, block], int32[B]) -> (uint8[B, cap_bytes], int32[B])
+    plus (sync_bit, sync_out, nsync) when ``sync``.
     """
-    fn = functools.partial(encode_block, window=window, cap=cap, chunk=chunk)
+    if sync:
+        fn = functools.partial(encode_block_sync, window=window, cap=cap,
+                               chunk=chunk, backend=backend, sync_k=sync_k)
+    else:
+        fn = functools.partial(encode_block, window=window, cap=cap,
+                               chunk=chunk, backend=backend)
     return jax.jit(jax.vmap(fn))
 
 
@@ -70,7 +163,6 @@ def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
 def encode_bytes(data: bytes, block: int = 1 << 15) -> bytes:
     """Host helper: encode a whole byte string as one stream per block,
     concatenated (each block is an independent LZS stream with end marker).
-    For reference-identical single-stream output use stream.py's exact mode.
     """
     import numpy as np
 
@@ -79,7 +171,6 @@ def encode_bytes(data: bytes, block: int = 1 << 15) -> bytes:
         piece = data[start:start + block]
         x = np.zeros(block, np.uint8)
         x[:len(piece)] = np.frombuffer(piece, np.uint8)
-        comp, nbytes = encode_block(jnp.asarray(x),
-                                    jnp.int32(len(piece)))
+        comp, nbytes = encode_block(jnp.asarray(x), jnp.int32(len(piece)))
         out += bytes(np.asarray(comp)[:int(nbytes)])
     return bytes(out)
