@@ -10,28 +10,30 @@ Two output formats:
 
   raw        pure concatenated LZS streams. Reference-CLI compatible; decode
              in parallel only if block lengths are known out-of-band.
-  container  a small header carrying block size + per-block compressed
-             lengths, enabling embarrassingly parallel decode. Payload is
-             the same raw concatenation.
+  container  (version 2) a header carrying block size, per-block compressed
+             lengths, and parse sync records — (bit offset, output offset)
+             token-head checkpoints every ~sync_k parse steps — enabling
+             interval-parallel decode (ops.decode2). The payload remains the
+             raw concatenation, still decodable by the reference decoder.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import spec
 from .ops import decode as dec_ops
+from .ops import decode2 as dec2_ops
 from .ops import encode as enc_ops
 
 MAGIC = b"LZST"
-VERSION = 1
-DEFAULT_BLOCK = 1 << 16
+VERSION = 2
+DEFAULT_BLOCK = 1 << 15
+_HDR = "<4sBBHIIQ"
 
 
 def pad_blocks(data: bytes, block: int) -> tuple[np.ndarray, np.ndarray]:
@@ -68,58 +70,107 @@ def concat_streams(comp: jnp.ndarray, lens: jnp.ndarray) -> tuple[
 class BlockCodec:
     """Batch codec over fixed-size blocks with cached jitted kernels."""
     block: int = DEFAULT_BLOCK
-    chunk: int = 256
+    chunk: int = 4096
+    sync_k: int = enc_ops.SYNC_K
 
     def __post_init__(self):
         self.cap = enc_ops.cap_bytes(self.block)
-        self._enc = enc_ops.make_encoder(self.block, chunk=self.chunk)
-        self._dec = dec_ops.make_decoder(self.cap, self.block)
+        self.slots = enc_ops.sync_slots(self.block, self.sync_k)
+        self._enc = enc_ops.make_encoder(self.block, chunk=self.chunk,
+                                         sync=True, sync_k=self.sync_k)
+        self._dec_sync = dec2_ops.make_decoder_sync(self.cap, self.block,
+                                                    sync_k=self.sync_k)
+        self._dec_raw = None
 
     # -- device-level primitives (fixed batch shape) --
     def encode_batch(self, x: jnp.ndarray, n: jnp.ndarray):
-        """(uint8[B, block], int32[B]) -> (uint8[B, cap], int32[B])."""
+        """(uint8[B, block], int32[B]) -> (comp uint8[B, cap], clen int32[B],
+        sync_bit int32[B, I], sync_out int32[B, I], nsync int32[B])."""
         return self._enc(x, n)
 
-    def decode_batch(self, comp: jnp.ndarray, nbytes: jnp.ndarray):
-        """(uint8[B, cap], int32[B]) -> (uint8[B, block], int32[B],
-        int32[B] end-marker counts)."""
-        return self._dec(comp, nbytes)
+    def decode_batch(self, comp, sync_bit, sync_out, n):
+        """Sync-parallel batch decode -> uint8[B, block]."""
+        return self._dec_sync(comp, sync_bit, sync_out, n)
+
+    def decode_batch_raw(self, comp: jnp.ndarray, nbytes: jnp.ndarray):
+        """Metadata-free batch decode (scan decoder; reference semantics)."""
+        if self._dec_raw is None:
+            self._dec_raw = dec_ops.make_decoder(self.cap, self.block)
+        return self._dec_raw(comp, nbytes)
 
     # -- host-level byte APIs --
     def compress(self, data: bytes, container: bool = True) -> bytes:
         x, lens = pad_blocks(data, self.block)
-        comp, clens = self.encode_batch(jnp.asarray(x), jnp.asarray(lens))
+        comp, clens, sbit, sout, nsync = self.encode_batch(
+            jnp.asarray(x), jnp.asarray(lens))
         flat, total = concat_streams(comp, clens)
         payload = bytes(np.asarray(flat)[:int(total)])
         if not container:
             return payload
         clens_np = np.asarray(clens, np.uint32)
-        header = struct.pack("<4sBBHIIQ", MAGIC, VERSION, 0, 0, self.block,
-                             len(clens_np), len(data))
-        return header + clens_np.tobytes() + payload
+        nsync_np = np.asarray(nsync, np.uint32)
+        sbit_np = np.asarray(sbit)
+        sout_np = np.asarray(sout)
+        # per-block end sentinel (bit offset of the end marker) is the
+        # sentinel value the encoder stores in unused slots
+        endbits = sbit_np[:, -1].astype(np.uint32)
+        recs = []
+        for b in range(len(clens_np)):
+            k = int(nsync_np[b])
+            recs.append(np.stack([sbit_np[b, :k], sout_np[b, :k]],
+                                 axis=1).astype(np.uint32))
+        recs_np = (np.concatenate(recs) if recs
+                   else np.zeros((0, 2), np.uint32))
+        header = struct.pack(_HDR, MAGIC, VERSION, 0, self.sync_k,
+                             self.block, len(clens_np), len(data))
+        return (header + clens_np.tobytes() + nsync_np.tobytes()
+                + endbits.tobytes() + recs_np.tobytes() + payload)
 
     def decompress(self, blob: bytes) -> bytes:
         if blob[:4] != MAGIC:
             raise ValueError("not a container stream; use raw decode")
-        magic, ver, _f, _r, block, nblocks, orig = struct.unpack_from(
-            "<4sBBHIIQ", blob)
+        magic, ver, _f, sync_k, block, nblocks, orig = struct.unpack_from(
+            _HDR, blob)
         if ver != VERSION:
             raise ValueError(f"unsupported container version {ver}")
-        if block != self.block:
-            raise ValueError(
-                f"container block size {block} != codec block {self.block}")
-        hdr = struct.calcsize("<4sBBHIIQ")
-        clens = np.frombuffer(blob, np.uint32, nblocks, hdr).astype(np.int32)
-        payload = np.frombuffer(blob, np.uint8,
-                                offset=hdr + 4 * nblocks)
-        offs = np.concatenate([[0], np.cumsum(clens)])
+        if block != self.block or sync_k != self.sync_k:
+            raise ValueError("container block/sync_k mismatch with codec")
+        pos = struct.calcsize(_HDR)
+        clens = np.frombuffer(blob, np.uint32, nblocks, pos).astype(np.int32)
+        pos += 4 * nblocks
+        nsync = np.frombuffer(blob, np.uint32, nblocks, pos).astype(np.int32)
+        pos += 4 * nblocks
+        endbits = np.frombuffer(blob, np.uint32, nblocks, pos).astype(
+            np.int32)
+        pos += 4 * nblocks
+        total_recs = int(nsync.sum())
+        recs = np.frombuffer(blob, np.uint32, 2 * total_recs, pos).reshape(
+            total_recs, 2).astype(np.int32)
+        pos += 8 * total_recs
+        payload = np.frombuffer(blob, np.uint8, offset=pos)
+
+        lens = np.full(nblocks, block, np.int32)
+        if orig:
+            lens[-1] = orig - block * (nblocks - 1)
+        else:
+            lens[:] = 0
         comp = np.zeros((nblocks, self.cap), np.uint8)
+        sbit = np.zeros((nblocks, self.slots), np.int32)
+        sout = np.zeros((nblocks, self.slots), np.int32)
+        coffs = np.concatenate([[0], np.cumsum(clens)])
+        r = 0
         for b in range(nblocks):
-            comp[b, :clens[b]] = payload[offs[b]:offs[b + 1]]
-        out, out_len, _ = self.decode_batch(jnp.asarray(comp),
-                                            jnp.asarray(clens))
-        out, out_len = np.asarray(out), np.asarray(out_len)
-        parts = [out[b, :out_len[b]].tobytes() for b in range(nblocks)]
+            comp[b, :clens[b]] = payload[coffs[b]:coffs[b + 1]]
+            k = int(nsync[b])
+            sbit[b, :k] = recs[r:r + k, 0]
+            sout[b, :k] = recs[r:r + k, 1]
+            sbit[b, k:] = endbits[b]
+            sout[b, k:] = lens[b]
+            r += k
+        out = self.decode_batch(jnp.asarray(comp), jnp.asarray(sbit),
+                                jnp.asarray(sout), jnp.asarray(lens))
+        out = np.asarray(out)
+        parts = [out[b, :lens[b]].tobytes() for b in range(nblocks)]
         result = b"".join(parts)
         if len(result) != orig:
             raise ValueError(

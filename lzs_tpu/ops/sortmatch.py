@@ -98,8 +98,10 @@ def _nearest_prev(keys, pos, window):
     prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), spos[:-1]])
     delta = spos - prev
     cand = jnp.where(same & (delta >= 1) & (delta <= window), prev, -1)
-    # scatter back to position order
-    return jnp.full(spos.shape, -1, jnp.int32).at[spos].set(cand)
+    # back to position order: a sort by position is ~5x cheaper than the
+    # equivalent scatter on TPU
+    return jax.lax.sort((spos, cand), dimension=0, num_keys=1,
+                        is_stable=False)[1]
 
 
 def _row_candidates(row: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
@@ -112,11 +114,13 @@ def _row_candidates(row: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
     """
     m = row.shape[0]
     i = jnp.arange(m, dtype=jnp.int32)
+    grams = {(o, g): _gram(row, o, g)
+             for plan in _KEY_PLAN.values() for o, g in plan}
     score = jnp.zeros(m, jnp.int32)
     off = jnp.zeros(m, jnp.int32)
     for k in range(spec.MIN_MATCH, cap + 1):
         plan = _KEY_PLAN[k]
-        keys = [_gram(row, o, g) for o, g in plan]
+        keys = [grams[p] for p in plan]
         invalid = (i < lo) | (i + k > hi)
         keys[0] = jnp.where(invalid, _INVALID_KEY + i, keys[0])
         for t in range(1, len(keys)):
@@ -143,25 +147,34 @@ def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
     return jnp.stack(cols)
 
 
+_PROBE_ITERS = 3      # tier-1 probes: exact for extensions <= 48 bytes
+
+
 def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
                      doff: jnp.ndarray, active: jnp.ndarray) -> jnp.ndarray:
     """Exact run extension for far offsets: length of the maximal run of
     x[a + t] == x[a + t - doff] (t >= 0) at a = base, for active lanes.
 
-    Probes 16 bytes per while_loop iteration using packed 4-byte words.
+    Tier 1: a fixed number of 16-byte word-compare probes (covers typical
+    extensions). Tier 2: survivors are grouped by *distinct offset* and each
+    group is closed with one elementwise diagonal-run column (reverse
+    cumulative min) — linear total work even for very long periodic
+    matches, where per-position probing would be quadratic.
     """
     npos = x.shape[0]
     xe = jnp.concatenate([x, jnp.zeros(19, jnp.int32)])
     w4 = ((xe[:-3] << 24) | (xe[1:-2] << 16) | (xe[2:-1] << 8) | xe[3:])
     wmax = w4.shape[0] - 1
+    j = jnp.arange(npos, dtype=jnp.int32)
 
     def leading_eq(a, b):
         z = (a ^ b).astype(jnp.uint32)
         lz = jnp.where(z == 0, jnp.uint32(32), jax.lax.clz(z))
         return (lz >> 3).astype(jnp.int32)
 
-    def body(state):
-        act, ln = state
+    act = active
+    ln = jnp.zeros(x.shape, jnp.int32)
+    for _ in range(_PROBE_ITERS):
         a = base + ln
         b = a - doff
         ext = jnp.zeros(ln.shape, jnp.int32)
@@ -175,14 +188,23 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         ext = jnp.minimum(ext, jnp.maximum(n - a, 0))     # cap at data end
         ln = ln + jnp.where(act, ext, 0)
         act = act & (ext == 16) & (base + ln < n)
-        return act, ln
 
-    def cond(state):
-        return jnp.any(state[0])
+    safe_base = jnp.clip(base, 0, npos - 1)
 
-    _, length = jax.lax.while_loop(
-        cond, body, (active, jnp.zeros(x.shape, jnp.int32)))
-    return length
+    def t2_body(state):
+        act2, ln2 = state
+        d0 = jnp.min(jnp.where(act2, doff, _BIG))
+        prev = jnp.where(j >= d0, jnp.roll(x, d0), -1)
+        eq = (x == prev) & (j < n)
+        mm = jnp.where(eq, _BIG, j)
+        rm = jnp.flip(jax.lax.cummin(jnp.flip(mm)))
+        col = jnp.maximum(jnp.minimum(rm, n) - j, 0)
+        mine = act2 & (doff == d0)
+        ln2 = jnp.where(mine, col[safe_base], ln2)
+        return act2 & ~mine, ln2
+
+    act, ln = jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body, (act, ln))
+    return ln
 
 
 @functools.partial(jax.jit, static_argnames=("window", "cap", "chunk"))

@@ -32,7 +32,7 @@ _LEN_VALUE = jnp.array([0, 0, 0b00, 0b01, 0b10, 0b1100, 0b1101, 0b1110,
                         0b1111], jnp.int32)
 _LEN_WIDTH = jnp.array([0, 0, 2, 2, 2, 4, 4, 4, 4], jnp.int32)
 
-_UNROLL = 16
+_UNROLL = 64
 _BIG = jnp.int32(0x3FFFFFFF)
 
 

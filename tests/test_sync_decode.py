@@ -1,0 +1,80 @@
+"""Sync-metadata encode/decode (ops.encode_block_sync + ops.decode2).
+
+The container fast path must reproduce exactly the bytes of the reference
+model for any input, with sync boundaries landing at arbitrary token heads
+(including mid-stream extended-length chains owned by a single interval).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lzs_tpu.ops import decode2, encode as enc
+from lzs_tpu import reference
+
+
+def roundtrip(data: bytes, block: int, sync_k: int) -> bytes:
+    n = len(data)
+    x = np.zeros(block, np.uint8)
+    x[:n] = np.frombuffer(data, np.uint8)
+    comp, nbytes, sbit, sout, nsync = enc.encode_block_sync(
+        jnp.asarray(x), jnp.int32(n), sync_k=sync_k)
+    out = decode2.decode_block_sync(comp, sbit, sout, jnp.int32(n),
+                                    out_cap=block, sync_k=sync_k)
+    return bytes(np.asarray(out)[:n])
+
+
+CASES = {
+    "text": (__doc__ * 40).encode()[:4096],
+    "rle_long": b"Q" * 4000,
+    "rle_then_text": b"Z" * 2500 + b"the quick brown fox " * 60,
+    "alternating": b"ab" * 2000,
+    "single": b"x",
+    "empty": b"",
+    "incompressible": np.random.default_rng(3).integers(
+        0, 256, 4096, dtype=np.uint8).tobytes(),
+    "periodic_far": np.tile(np.random.default_rng(4).integers(
+        0, 256, 333, dtype=np.uint8), 12).tobytes(),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+@pytest.mark.parametrize("sync_k", [48, 768])
+def test_sync_roundtrip(name, sync_k):
+    data = CASES[name][:4096]
+    assert roundtrip(data, 4096, sync_k) == data
+
+
+@pytest.mark.parametrize("sync_k", [48, 256])
+def test_sync_stream_matches_reference_model(sync_k):
+    data = (b"sync points must not change the payload " * 100)[:4096]
+    x = np.zeros(4096, np.uint8)
+    x[:len(data)] = np.frombuffer(data, np.uint8)
+    comp, nbytes, _, _, _ = enc.encode_block_sync(
+        jnp.asarray(x), jnp.int32(len(data)), sync_k=sync_k)
+    got = bytes(np.asarray(comp)[:int(nbytes)])
+    want = reference.lzs_compress(data)
+    assert got == want
+
+
+def test_sync_mixed_batch_fuzz():
+    rng = np.random.default_rng(11)
+    for _ in range(6):
+        parts = []
+        for _ in range(12):
+            k = rng.integers(0, 4)
+            if k == 0:
+                parts.append(rng.integers(0, 256, rng.integers(1, 300),
+                                          dtype=np.uint8).tobytes())
+            elif k == 1:
+                parts.append(bytes([rng.integers(0, 256)])
+                             * rng.integers(1, 600))
+            elif k == 2:
+                pat = rng.integers(0, 256, rng.integers(2, 60),
+                                   dtype=np.uint8).tobytes()
+                parts.append(pat * rng.integers(2, 30))
+            else:
+                prev = b"".join(parts)
+                parts.append(prev[:rng.integers(0, min(len(prev) + 1, 800))])
+        data = b"".join(parts)[:4096]
+        assert roundtrip(data, 4096, 96) == data
