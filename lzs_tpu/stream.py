@@ -1,0 +1,351 @@
+"""Streaming / incremental codec API with carried 2 KiB window state.
+
+The TPU-native analogue of the reference's incremental state machines
+(lzs_compress_incremental, lzs-compression.c:553-823;
+lzs_decompress_incremental, lzs-decompression.c:459-743): complete codec
+state lives in a plain serializable object — window bytes, bit-queue
+remnant, parser registers, status flags — so any feed boundary is a
+checkpoint/resume point (SURVEY.md section 5, "checkpoint/resume").
+
+Design:
+  * The stream compressor produces bytes **identical to the one-shot
+    encoder over the concatenated feeds** (hence identical to the
+    reference C encoders). Greedy token decisions are final once a token
+    ends >= 12 bytes (SEARCH_MATCH_MAX) before the end of buffered input:
+    both the capped score and the chosen run can no longer be changed by
+    future bytes. Everything later is held back (the reference's
+    INPUT_STARVED look-ahead gate, lzs-compression.c:641-647).
+  * Match search per feed runs on the accelerator (ops.sortmatch) over
+    [carried window || buffered input]; the cheap greedy walk and bit
+    emission run on the host.
+  * The stream decompressor is a host-side state machine with the full
+    status protocol: INPUT_STARVED (bit-granular), OUTPUT_FULL with
+    mid-copy resume (lzs-decompression.c:674-681), END_MARKER with
+    discard-padding-and-continue semantics (:559-576), and the zero-fill
+    rule for out-of-range references (:684-693).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+from . import spec
+
+# Status flags (values shared with native runtime and the reference's
+# LzsCompressStatus_t / LzsDecompressStatus_t vocabulary, lzs.h:90-99,170-178)
+INPUT_STARVED = 1
+OUTPUT_FULL = 2
+FINISHED = 4
+END_MARKER = 8
+
+_HOLD = spec.SEARCH_MATCH_MAX          # bytes held back until more input
+
+
+@functools.lru_cache(maxsize=8)
+def _matcher(pool: int):
+    import jax
+    import jax.numpy as jnp
+
+    from .ops import sortmatch
+
+    fn = jax.jit(functools.partial(sortmatch.best_matches,
+                                   chunk=min(4096, pool)))
+
+    def run(arr: np.ndarray, n: int):
+        x = np.zeros(pool, np.int32)
+        x[:n] = arr[:n]
+        s, o, f = fn(jnp.asarray(x), jnp.int32(n))
+        return np.asarray(s), np.asarray(o), np.asarray(f)
+
+    return run
+
+
+def _best_matches_host(arr: np.ndarray, n: int):
+    """Accelerated per-position match table over arr[:n]."""
+    pool = 256
+    while pool < n:
+        pool *= 2
+    return _matcher(pool)(arr, n)
+
+
+class _BitSink:
+    """Resumable MSB-first bit accumulator emitting whole bytes."""
+
+    def __init__(self, acc: int = 0, nbits: int = 0) -> None:
+        self.acc = acc
+        self.nbits = nbits
+
+    def put(self, value: int, width: int, out: bytearray) -> None:
+        self.acc = ((self.acc << width) | (value & ((1 << width) - 1)))
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def pad_to_byte(self, out: bytearray) -> None:
+        if self.nbits:
+            self.put(0, 8 - self.nbits, out)
+
+
+@dataclasses.dataclass
+class StreamCompressor:
+    """Incremental LZS compressor (carried-window streaming encode).
+
+    feed(data) buffers input and returns any newly final compressed bytes;
+    finish() flushes the holdback, appends the end marker, and pads.
+    Output over a whole session is byte-identical to ``reference.
+    lzs_compress`` of the concatenated input.
+    """
+
+    window: bytes = b""
+    pending: bytes = b""
+    bit_acc: int = 0
+    bit_n: int = 0
+    status: int = INPUT_STARVED
+    total_in: int = 0
+    total_out: int = 0
+
+    def feed(self, data: bytes = b"", finish: bool = False) -> bytes:
+        if self.status & FINISHED:
+            raise ValueError("stream already finished")
+        self.total_in += len(data)
+        buf = self.pending + data
+        usable = len(buf) if finish else len(buf) - _HOLD
+        out = bytearray()
+        sink = _BitSink(self.bit_acc, self.bit_n)
+        if usable > 0 or finish:
+            ctx = len(self.window)
+            arr = np.frombuffer(self.window + buf, np.uint8).astype(np.int32)
+            n = len(arr)
+            score, off, full = _best_matches_host(arr, n)
+            limit = ctx + usable
+            i = ctx
+            while i < limit:
+                if score[i] >= spec.MIN_MATCH:
+                    length = int(full[i])
+                    end = i + length
+                    if end > limit:
+                        break
+                    self._emit_match(int(off[i]), length, sink, out)
+                    i = end
+                else:
+                    if i + 1 > limit:
+                        break
+                    sink.put(0, 1, out)
+                    sink.put(int(arr[i]), 8, out)
+                    i += 1
+            consumed = i - ctx
+            self.window = (self.window + buf[:consumed])[-spec.WINDOW_SIZE:]
+            self.pending = buf[consumed:]
+        else:
+            self.pending = buf
+        if finish:
+            assert not self.pending
+            sink.put(spec.END_MARKER_VALUE, spec.END_MARKER_BITS, out)
+            sink.pad_to_byte(out)
+            self.status = FINISHED | END_MARKER
+        else:
+            self.status = INPUT_STARVED if len(self.pending) <= _HOLD else 0
+        self.bit_acc, self.bit_n = sink.acc, sink.nbits
+        self.total_out += len(out)
+        return bytes(out)
+
+    def finish(self) -> bytes:
+        return self.feed(b"", finish=True)
+
+    def _emit_match(self, off: int, length: int, sink: _BitSink,
+                    out: bytearray) -> None:
+        sink.put(1, 1, out)
+        if off <= spec.SHORT_OFFSET_MAX:
+            sink.put(1, 1, out)
+            sink.put(off, spec.SHORT_OFFSET_BITS, out)
+        else:
+            sink.put(0, 1, out)
+            sink.put(off, spec.LONG_OFFSET_BITS, out)
+        initial = min(length, spec.MAX_SHORT_LENGTH)
+        sink.put(spec.LENGTH_CODE_VALUE[initial],
+                 spec.LENGTH_CODE_WIDTH[initial], out)
+        if initial == spec.MAX_SHORT_LENGTH:
+            rest = length - spec.MAX_SHORT_LENGTH
+            while True:
+                nib = min(rest, spec.MAX_EXTENDED_LENGTH)
+                sink.put(nib, spec.EXTENDED_LENGTH_BITS, out)
+                rest -= nib
+                if nib != spec.MAX_EXTENDED_LENGTH:
+                    break
+
+    # -- checkpoint / resume --
+    def state_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "StreamCompressor":
+        return cls(**d)
+
+
+@dataclasses.dataclass
+class StreamDecompressor:
+    """Incremental LZS decompressor (reference incremental semantics).
+
+    feed(data, max_out=None) returns decoded bytes; state persists across
+    calls at any byte/bit/copy boundary. ``stop_at_end`` mirrors the
+    single-call decoder; the default crosses end markers like
+    lzs_decompress_incremental (markers counted in ``markers``).
+    """
+
+    stop_at_end: bool = False
+    window: bytes = b""
+    bit_acc: int = 0
+    bit_n: int = 0
+    mode: int = 0                 # 0 normal, 1 extended
+    cur_off: int = 0
+    copy_rem: int = 0             # resumable mid-copy remainder
+    markers: int = 0
+    status: int = INPUT_STARVED
+    total_out: int = 0
+
+    def feed(self, data: bytes = b"",
+             max_out: Optional[int] = None) -> bytes:
+        if self.status & FINISHED:
+            return b""
+        acc, nb = self.bit_acc, self.bit_n
+        pos = 0
+        win = bytearray(self.window)
+        out = bytearray()
+        budget = max_out if max_out is not None else (1 << 62)
+        self.status = 0
+
+        def fill() -> None:
+            nonlocal acc, nb, pos
+            while nb <= 24 and pos < len(data):
+                acc = (acc << 8) | data[pos]
+                nb += 8
+                pos += 1
+
+        def peek(k: int) -> int:
+            return (acc >> (nb - k)) & ((1 << k) - 1)
+
+        def take(k: int) -> int:
+            nonlocal acc, nb
+            nb -= k
+            v = (acc >> nb) & ((1 << k) - 1)
+            acc &= (1 << nb) - 1
+            return v
+
+        def emit(b: int) -> None:
+            out.append(b)
+            win.append(b)
+
+        while True:
+            if self.copy_rem:
+                while self.copy_rem and len(out) < budget:
+                    j = len(win) - self.cur_off
+                    emit(win[j] if j >= 0 else 0)
+                    self.copy_rem -= 1
+                if self.copy_rem:
+                    self.status |= OUTPUT_FULL
+                    break
+            fill()
+            if self.mode == 1:                      # extended-length nibble
+                if nb < 4:
+                    self.status |= INPUT_STARVED
+                    break
+                nib = take(4)
+                self.copy_rem += nib
+                if nib != spec.MAX_EXTENDED_LENGTH:
+                    self.mode = 0
+                continue
+            # token head: peek everything, consume only when complete
+            if nb < 9:
+                self.status |= INPUT_STARVED
+                break
+            if peek(1) == 0:                        # literal
+                if len(out) >= budget:
+                    self.status |= OUTPUT_FULL
+                    break
+                take(1)
+                emit(take(8))
+                continue
+            short = (peek(2) & 1) == 1
+            if short:
+                off = peek(9) & 0x7F
+                if off == 0:                        # end marker
+                    take(9)
+                    self.markers += 1
+                    self.status |= END_MARKER
+                    drop = nb % 8                   # discard padding bits
+                    if drop:
+                        take(drop)
+                    if self.stop_at_end:
+                        self.status |= FINISHED
+                        break
+                    continue
+                head = 9
+            else:
+                if nb < 13:
+                    self.status |= INPUT_STARVED
+                    break
+                off = peek(13) & 0x7FF
+                head = 13
+            if nb < head + 2:
+                self.status |= INPUT_STARVED
+                break
+            l2 = peek(head + 2) & 3
+            if l2 < 3:
+                length = l2 + 2
+                take(head + 2)
+            else:
+                if nb < head + 4:
+                    self.status |= INPUT_STARVED
+                    break
+                l4 = peek(head + 4) & 0xF
+                take(head + 4)
+                if l4 == 0xF:
+                    length = spec.MAX_SHORT_LENGTH
+                    self.mode = 1
+                else:
+                    length = 5 + (l4 & 3)
+            self.cur_off = off
+            self.copy_rem = length
+        self.bit_acc, self.bit_n = acc, nb
+        self.window = bytes(win[-spec.WINDOW_SIZE:])
+        self.total_out += len(out)
+        if pos < len(data):
+            # keep unread input bytes queued in the bit accumulator
+            for b in data[pos:]:
+                self.bit_acc = (self.bit_acc << 8) | b
+                self.bit_n += 8
+        return bytes(out)
+
+    # -- checkpoint / resume --
+    def state_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_state_dict(cls, d: dict) -> "StreamDecompressor":
+        return cls(**d)
+
+
+def compress_stream(data: bytes, feed_size: int = 1 << 16) -> bytes:
+    """Convenience: run the stream compressor over fixed-size feeds."""
+    c = StreamCompressor()
+    out = bytearray()
+    for ofs in range(0, len(data), feed_size):
+        out += c.feed(data[ofs:ofs + feed_size])
+    out += c.finish()
+    return bytes(out)
+
+
+def decompress_stream(data: bytes, feed_size: int = 1 << 16,
+                      stop_at_end: bool = False) -> bytes:
+    """Convenience: run the stream decompressor over fixed-size feeds."""
+    d = StreamDecompressor(stop_at_end=stop_at_end)
+    out = bytearray()
+    for ofs in range(0, max(len(data), 1), feed_size):
+        out += d.feed(data[ofs:ofs + feed_size])
+    return bytes(out)

@@ -1,0 +1,135 @@
+"""Streaming/incremental API tests (lzs_tpu.stream).
+
+Mirrors the reference's incremental test strategy: chunked-resume at
+adversarial boundaries (test-lzs-decompression.c:177-290) and equality of
+streamed output with the single-call encoder (the property the reference's
+incremental encoder maintains vs lzs_compress).
+"""
+
+import numpy as np
+import pytest
+
+from lzs_tpu import reference, stream
+
+
+def mixed_data(seed: int, size: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    parts = []
+    while sum(map(len, parts)) < size:
+        k = rng.integers(0, 4)
+        if k == 0:
+            parts.append(rng.integers(0, 256, rng.integers(1, 400),
+                                      dtype=np.uint8).tobytes())
+        elif k == 1:
+            parts.append(bytes([rng.integers(0, 256)])
+                         * rng.integers(1, 800))
+        elif k == 2:
+            pat = rng.integers(0, 256, rng.integers(2, 80),
+                               dtype=np.uint8).tobytes()
+            parts.append(pat * rng.integers(2, 40))
+        else:
+            prev = b"".join(parts)
+            parts.append(prev[:rng.integers(0, min(len(prev) + 1, 1500))])
+    return b"".join(parts)[:size]
+
+
+DATA = mixed_data(5, 20000)
+ONE_SHOT = reference.lzs_compress(DATA)
+SMALL = mixed_data(6, 1500)
+SMALL_ONE_SHOT = reference.lzs_compress(SMALL)
+
+
+@pytest.mark.parametrize("feed", [555, 4096, 50000])
+def test_stream_compress_matches_one_shot(feed):
+    assert stream.compress_stream(DATA, feed) == ONE_SHOT
+
+
+@pytest.mark.parametrize("feed", [1, 7, 64])
+def test_stream_compress_tiny_feeds(feed):
+    assert stream.compress_stream(SMALL, feed) == SMALL_ONE_SHOT
+
+
+def test_stream_compress_status_protocol():
+    c = stream.StreamCompressor()
+    assert c.status & stream.INPUT_STARVED
+    c.feed(DATA[:100])
+    out = c.finish()
+    assert c.status & stream.FINISHED
+    assert c.status & stream.END_MARKER
+    with pytest.raises(ValueError):
+        c.feed(b"x")
+
+
+@pytest.mark.parametrize("feed", [1, 3, 10, 997, 10**9])
+def test_stream_decompress_chunked(feed):
+    assert stream.decompress_stream(ONE_SHOT, feed) == DATA
+
+
+@pytest.mark.parametrize("max_out", [1, 10, 333])
+def test_stream_decompress_output_bounded(max_out):
+    d = stream.StreamDecompressor()
+    out = bytearray()
+    out += d.feed(ONE_SHOT, max_out=max_out)
+    while True:
+        piece = d.feed(b"", max_out=max_out)
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == DATA
+
+
+def test_stream_decompress_concatenated_streams():
+    a, b = DATA[:5000], DATA[5000:9000]
+    blob = reference.lzs_compress(a) + reference.lzs_compress(b)
+    d = stream.StreamDecompressor()
+    out = d.feed(blob)
+    assert out == a + b
+    assert d.markers == 2
+    d2 = stream.StreamDecompressor(stop_at_end=True)
+    assert d2.feed(blob) == a
+    assert d2.status & stream.FINISHED
+
+
+def test_checkpoint_resume_compressor():
+    c = stream.StreamCompressor()
+    out = bytearray(c.feed(DATA[:9000]))
+    snap = c.state_dict()
+    # resumed clone must continue identically
+    c2 = stream.StreamCompressor.from_state_dict(snap)
+    out2 = bytearray(out)
+    out += c.feed(DATA[9000:])
+    out += c.finish()
+    out2 += c2.feed(DATA[9000:])
+    out2 += c2.finish()
+    assert bytes(out) == bytes(out2) == ONE_SHOT
+
+
+def test_checkpoint_resume_decompressor():
+    d = stream.StreamDecompressor()
+    out = bytearray(d.feed(ONE_SHOT[:1000]))
+    d2 = stream.StreamDecompressor.from_state_dict(d.state_dict())
+    rest = d.feed(ONE_SHOT[1000:])
+    rest2 = d2.feed(ONE_SHOT[1000:])
+    assert rest == rest2
+    assert bytes(out) + rest == DATA
+
+
+def test_zero_fill_out_of_range_offset():
+    # match referencing before stream start must emit zeros
+    from lzs_tpu.reference import BitWriter
+    w = BitWriter()
+    w.put(1, 1)
+    w.put(1, 1)
+    w.put(5, 7)      # offset 5 with empty history
+    w.put(0b00, 2)   # length 2
+    w.put(0b110000000, 9)
+    w.pad_to_byte()
+    d = stream.StreamDecompressor()
+    assert d.feed(w.getvalue()) == b"\x00\x00"
+
+
+def test_cross_reference_c_streamed(ref_driver):
+    comp = stream.compress_stream(DATA[:6000], 777)
+    assert ref_driver("d", comp) == DATA[:6000]
+    c_comp = ref_driver("c", DATA[:6000])
+    assert stream.decompress_stream(c_comp, 101) == DATA[:6000]
