@@ -1,0 +1,85 @@
+"""File-to-file compression CLIs.
+
+Matches the reference CLI contract (c/src/utils/lzs-compress.c:60-76,
+python/lzs-compress.py:44-49): ``lzs-compress INFILE OUTFILE`` /
+``lzs-decompress INFILE OUTFILE`` produce/consume raw LZS streams that
+interoperate with the reference implementations. The ``--container`` mode
+adds the block-parallel container framing (ops.decode2 fast path), and
+``--blocks`` selects block-parallel raw framing (concatenated independent
+streams — still reference-decodable).
+
+Usage:
+    python -m lzs_tpu.cli compress   [--container | --blocks] IN OUT
+    python -m lzs_tpu.cli decompress [--container] IN OUT
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _compress(args) -> int:
+    data = open(args.infile, "rb").read()
+    if args.container:
+        from .blocks import BlockCodec
+        out = BlockCodec(block=args.block).compress(data)
+    elif args.blocks:
+        from .blocks import BlockCodec
+        out = BlockCodec(block=args.block).compress(data, container=False)
+    else:
+        from .stream import compress_stream
+        out = compress_stream(data, feed_size=args.block)
+    open(args.outfile, "wb").write(out)
+    if args.verbose:
+        ratio = len(out) / max(len(data), 1)
+        print(f"{len(data)} -> {len(out)} bytes ({ratio:.1%})",
+              file=sys.stderr)
+    return 0
+
+
+def _decompress(args) -> int:
+    data = open(args.infile, "rb").read()
+    if args.container or data[:4] == b"LZST":
+        from .blocks import BlockCodec
+        import struct
+        block = struct.unpack_from("<I", data, 8)[0]
+        sync_k = struct.unpack_from("<H", data, 6)[0]
+        out = BlockCodec(block=block, sync_k=sync_k).decompress(data)
+    else:
+        from .stream import decompress_stream
+        out = decompress_stream(data)
+    open(args.outfile, "wb").write(out)
+    if args.verbose:
+        print(f"{len(data)} -> {len(out)} bytes", file=sys.stderr)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="lzs_tpu.cli", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name, fn in (("compress", _compress), ("decompress", _decompress)):
+        p = sub.add_parser(name)
+        p.add_argument("infile")
+        p.add_argument("outfile")
+        p.add_argument("--container", action="store_true",
+                       help="block-parallel container framing")
+        p.add_argument("--block", type=int, default=1 << 15,
+                       help="block / feed size")
+        p.add_argument("-v", "--verbose", action="store_true")
+        p.set_defaults(fn=fn)
+        if name == "compress":
+            p.add_argument("--blocks", action="store_true",
+                           help="raw concatenated per-block streams")
+        else:
+            p.set_defaults(blocks=False)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,14 +45,15 @@ END_MARKER = 8
 _HOLD = spec.SEARCH_MATCH_MAX          # bytes held back until more input
 
 
-@functools.lru_cache(maxsize=8)
-def _matcher(pool: int):
+@functools.lru_cache(maxsize=16)
+def _matcher(pool: int, window: int, cap: int):
     import jax
     import jax.numpy as jnp
 
     from .ops import sortmatch
 
     fn = jax.jit(functools.partial(sortmatch.best_matches,
+                                   window=window, cap=cap,
                                    chunk=min(4096, pool)))
 
     def run(arr: np.ndarray, n: int):
@@ -64,12 +65,14 @@ def _matcher(pool: int):
     return run
 
 
-def _best_matches_host(arr: np.ndarray, n: int):
+def _best_matches_host(arr: np.ndarray, n: int,
+                       window: int = spec.WINDOW_SIZE,
+                       cap: int = spec.SEARCH_MATCH_MAX):
     """Accelerated per-position match table over arr[:n]."""
     pool = 256
     while pool < n:
         pool *= 2
-    return _matcher(pool)(arr, n)
+    return _matcher(pool, window, cap)(arr, n)
 
 
 class _BitSink:
