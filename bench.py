@@ -70,6 +70,9 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lzs_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from lzs_tpu.blocks import BlockCodec, pad_blocks

@@ -48,7 +48,6 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
     data = jnp.concatenate([comp.astype(jnp.int32), jnp.zeros(8, jnp.int32)])
     w4 = ((data[:-3] << 24) | (data[1:-2] << 16)
           | (data[2:-1] << 8) | data[3:])
-    b5 = data[4:]
     wmax = w4.shape[0] - 1
 
     end_bit = jnp.concatenate([sync_bit[1:], sync_bit[-1:]])
@@ -58,11 +57,9 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
         active = bitpos < end_bit
         byte = jnp.clip(bitpos >> 3, 0, wmax)
         sh = (bitpos & 7).astype(jnp.uint32)
-        w = ((w4[byte].astype(jnp.uint32) << sh)
-             | jnp.where(sh > 0,
-                         b5[byte].astype(jnp.uint32) >> (
-                             jnp.uint32(8) - sh),
-                         jnp.uint32(0)))
+        # one word fetch per step: >= 25 valid bits after the shift (token
+        # heads need <= 17, nibble groups read 24)
+        w = w4[byte].astype(jnp.uint32) << sh
 
         # --- NORMAL: one token head ---
         flag = (w >> 31).astype(jnp.int32)
@@ -85,17 +82,17 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
         n_mode = jnp.where((~is_lit) & long_len
                            & ((l4 & 3) == 3), 1, 0)
 
-        # --- EXTENDED: up to 8 nibbles in one step ---
-        nw = (~w).astype(jnp.uint32)
-        lzn = jnp.where(nw == 0, jnp.uint32(32), jax.lax.clz(nw))
-        nf = (lzn >> 2).astype(jnp.int32)            # leading 0xF nibbles
-        whole = nf >= 8
+        # --- EXTENDED: up to 6 nibbles (24 valid bits) in one step ---
+        nw = (~w | jnp.uint32(0xFF)).astype(jnp.uint32)
+        lzn = jax.lax.clz(nw)
+        nf = jnp.minimum((lzn >> 2).astype(jnp.int32), 6)
+        whole = nf >= 6
         term = (w >> (jnp.uint32(28) - 4 * jnp.minimum(
-            nf, 7).astype(jnp.uint32))) & 0xF
-        e_len = jnp.where(whole, 8 * spec.MAX_EXTENDED_LENGTH,
+            nf, 5).astype(jnp.uint32))) & 0xF
+        e_len = jnp.where(whole, 6 * spec.MAX_EXTENDED_LENGTH,
                           spec.MAX_EXTENDED_LENGTH * nf
                           + term.astype(jnp.int32))
-        e_consume = jnp.where(whole, 32, 4 * (nf + 1))
+        e_consume = jnp.where(whole, 24, 4 * (nf + 1))
         e_mode = jnp.where(whole, 1, 0)
 
         is_ext = mode == 1

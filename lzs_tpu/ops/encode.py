@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from .. import spec
 from . import bitpack, match, sortmatch, tokenize
 
-#: nibbles consumed per parse step inside an extension run (decode2 contract)
-NIBBLES_PER_STEP = 8
+#: nibbles consumed per parse step inside an extension run (decode2 contract:
+#: a parse step sees >= 25 valid bits from one word fetch, so 6 nibbles)
+NIBBLES_PER_STEP = 6
 #: default parse-cost budget per sync interval
 SYNC_K = 768
 
