@@ -40,7 +40,9 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
            scan_len: int):
     """Interval-parallel token parse of one block's stream.
 
-    comp: uint8[C]; sync_bit/sync_out: int32[I] records (sentinel-filled).
+    comp: uint8[C]; sync_bit: int32[I] record bit offsets; sync_out:
+    int32[I] packed records — output offset (bits 0..16) | mode (bit 17) |
+    current match offset (bits 18..28) — sentinel-filled past nsync.
     Returns per-step segment arrays, each int32[scan_len, I]:
       kind (0 none / 1 literal / 2 copy), payload (literal byte or offset),
       length, opos.
@@ -111,9 +113,9 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
                  new_mode, new_off)
         return state, out
 
-    init = (sync_bit, sync_out,
-            jnp.zeros(sync_bit.shape, jnp.int32),
-            jnp.zeros(sync_bit.shape, jnp.int32))
+    init = (sync_bit, sync_out & 0x1FFFF,
+            (sync_out >> 17) & 1,
+            sync_out >> 18)
     _, (kind, payload, length, opos) = jax.lax.scan(
         step, init, None, length=scan_len)
     return kind, payload, length, opos
@@ -133,7 +135,7 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
 
     Returns uint8[out_cap] (bytes past ``n`` are zero).
     """
-    scan_len = sync_k + enc.max_token_cost(out_cap)
+    scan_len = sync_k
     kind, payload, length, opos = _parse(comp, sync_bit, sync_out, scan_len)
     kind, payload, length, opos = (a.reshape(-1)
                                    for a in (kind, payload, length, opos))

@@ -26,8 +26,10 @@ from . import bitpack, match, sortmatch, tokenize
 #: nibbles consumed per parse step inside an extension run (decode2 contract:
 #: a parse step sees >= 25 valid bits from one word fetch, so 6 nibbles)
 NIBBLES_PER_STEP = 6
-#: default parse-cost budget per sync interval
-SYNC_K = 768
+#: default parse steps per sync interval (boundaries may fall mid-token:
+#: records carry parser mode/offset, so every interval is exactly this many
+#: parse steps and the decode scan needs no mega-token slack)
+SYNC_K = 512
 
 
 def cap_bytes(block: int) -> int:
@@ -65,7 +67,7 @@ def _pipeline(x, n, window, cap, chunk, backend):
     comp, total_bits, offs = bitpack.pack_bits(value, width,
                                                cap_bytes(x.shape[0]))
     nbytes = (total_bits + 7) >> 3
-    return comp, nbytes, total_bits, offs, width, starts
+    return comp, nbytes, total_bits, offs, width, starts, off
 
 
 @functools.partial(jax.jit,
@@ -86,7 +88,7 @@ def encode_block(x: jnp.ndarray, n: jnp.ndarray, *,
       (comp: uint8[cap_bytes(N)], nbytes: int32) — the stream including the
       end marker and zero padding to a byte boundary.
     """
-    comp, nbytes, _, _, _, _ = _pipeline(x, n, window, cap, chunk, backend)
+    comp, nbytes = _pipeline(x, n, window, cap, chunk, backend)[:2]
     return comp, nbytes
 
 
@@ -101,28 +103,37 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
 
     Returns:
       comp: uint8[cap_bytes(N)], nbytes: int32,
-      sync_bit: int32[I] bit offset of each sync token head,
-      sync_out: int32[I] output byte offset of each sync token head,
+      sync_bit: int32[I] bit offset of each sync point,
+      sync_out: int32[I] packed record: output byte offset (bits 0..16) |
+        parser mode (bit 17) | current match offset (bits 18..28) — mode 1
+        resumes inside an extension-nibble chain,
       nsync: int32 number of valid records (remaining slots hold the
         stream-end sentinel: sync_bit = total token bits, sync_out = n).
     """
     npos = x.shape[0]
-    comp, nbytes, total_bits, offs, width, starts = _pipeline(
+    comp, nbytes, total_bits, offs, width, starts, off = _pipeline(
         x, n, window, cap, chunk, backend)
 
     i = jnp.arange(npos, dtype=jnp.int32)
-    # parse cost per position: head = 1; extension-nibble group = 1 per
-    # NIBBLES_PER_STEP nibbles (decode2 consumes nibble runs 8 at a time)
+    # parse steps: a token head is one step; every NIBBLES_PER_STEP
+    # extension nibbles are one step (decode2 consumes nibble runs)
     is_nib = (~starts) & (width[:npos] == 4)
-    owner_i = jax.lax.cummax(jnp.where(starts, i, -1))
+    okey = jax.lax.cummax(
+        jnp.where(starts, (i << 12) | jnp.minimum(off, 0xFFF), -1))
+    owner_i = okey >> 12
+    owner_off = okey & 0xFFF
     t = i - owner_i - 1
-    cost = jnp.where(starts, 1,
-                     jnp.where(is_nib & (t % NIBBLES_PER_STEP == 0), 1, 0))
-    cc = jnp.cumsum(cost) - cost              # exclusive
-    b = cc // sync_k
-    cb = jax.lax.cummax(jnp.where(starts, b, -1))
-    cbprev = jnp.concatenate([jnp.full(1, -1, jnp.int32), cb[:-1]])
-    boundary = starts & (b > cbprev)
+    is_step = starts | (is_nib & (t % NIBBLES_PER_STEP == 0))
+    cc = jnp.cumsum(is_step.astype(jnp.int32)) - is_step
+    boundary = is_step & (cc % sync_k == 0)
+
+    # parser state at a boundary: output offset, mode, current offset.
+    # A nibble group at chain index t extends output at owner+8+15*t.
+    opos = jnp.where(starts, i,
+                     owner_i + spec.MAX_SHORT_LENGTH
+                     + spec.MAX_EXTENDED_LENGTH * t)
+    rec = jnp.where(starts, i,
+                    opos | (1 << 17) | (owner_off << 18))
 
     nslots = sync_slots(npos, sync_k)
     rank = jnp.cumsum(boundary) - 1
@@ -131,7 +142,7 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
     end_bits = total_bits - spec.END_MARKER_BITS
     sync_bit = jnp.full(nslots, 0, jnp.int32).at[dest].set(
         offs[:npos], mode="drop")
-    sync_out = jnp.full(nslots, 0, jnp.int32).at[dest].set(i, mode="drop")
+    sync_out = jnp.full(nslots, 0, jnp.int32).at[dest].set(rec, mode="drop")
     nsync = jnp.sum(boundary.astype(jnp.int32))
     slot = jnp.arange(nslots, dtype=jnp.int32)
     sync_bit = jnp.where(slot < nsync, sync_bit, end_bits)

@@ -148,6 +148,7 @@ def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
 
 
 _PROBE_ITERS = 3      # tier-1 probes: exact for extensions <= 48 bytes
+_PROBE_CAP = 4096     # compacted probe lanes per wave
 
 
 def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
@@ -155,13 +156,17 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
     """Exact run extension for far offsets: length of the maximal run of
     x[a + t] == x[a + t - doff] (t >= 0) at a = base, for active lanes.
 
-    Tier 1: a fixed number of 16-byte word-compare probes (covers typical
-    extensions). Tier 2: survivors are grouped by *distinct offset* and each
-    group is closed with one elementwise diagonal-run column (reverse
-    cumulative min) — linear total work even for very long periodic
-    matches, where per-position probing would be quadratic.
+    Active lanes are first *compacted* (one cheap sort) into waves of
+    _PROBE_CAP lanes so gather traffic scales with the active count, not
+    the block size. Tier 1: a fixed number of 16-byte word-compare probes
+    per wave (covers typical extensions). Tier 2: survivors are grouped by
+    *distinct offset* and each group is closed with one elementwise
+    diagonal-run column (reverse cumulative min) — linear total work even
+    for very long periodic matches, where per-position probing would be
+    quadratic.
     """
     npos = x.shape[0]
+    cap = min(_PROBE_CAP, npos)
     xe = jnp.concatenate([x, jnp.zeros(19, jnp.int32)])
     w4 = ((xe[:-3] << 24) | (xe[1:-2] << 16) | (xe[2:-1] << 8) | xe[3:])
     wmax = w4.shape[0] - 1
@@ -172,39 +177,56 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         lz = jnp.where(z == 0, jnp.uint32(32), jax.lax.clz(z))
         return (lz >> 3).astype(jnp.int32)
 
-    act = active
-    ln = jnp.zeros(x.shape, jnp.int32)
-    for _ in range(_PROBE_ITERS):
-        a = base + ln
-        b = a - doff
-        ext = jnp.zeros(ln.shape, jnp.int32)
-        open_ = act
-        for t in range(0, 16, 4):
-            wa = w4[jnp.clip(a + t, 0, wmax)]
-            wb = w4[jnp.clip(b + t, 0, wmax)]
-            le = leading_eq(wa, wb)
-            ext = ext + jnp.where(open_, le, 0)
-            open_ = open_ & (le == 4)
-        ext = jnp.minimum(ext, jnp.maximum(n - a, 0))     # cap at data end
-        ln = ln + jnp.where(act, ext, 0)
-        act = act & (ext == 16) & (base + ln < n)
+    def wave(state):
+        remaining, ln = state
+        # compact: indices of up to `cap` active lanes (single-word sort)
+        key = jnp.where(remaining, j, npos + j)
+        idx = jax.lax.sort(key)[:cap] % npos
+        lanes = remaining[idx]                     # False once exhausted
+        cbase = base[idx]
+        cdoff = jnp.maximum(doff[idx], 1)
 
-    safe_base = jnp.clip(base, 0, npos - 1)
+        act = lanes
+        cln = jnp.zeros(cap, jnp.int32)
+        for _ in range(_PROBE_ITERS):
+            a = cbase + cln
+            b = a - cdoff
+            ext = jnp.zeros(cap, jnp.int32)
+            open_ = act
+            for t in range(0, 16, 4):
+                wa = w4[jnp.clip(a + t, 0, wmax)]
+                wb = w4[jnp.clip(b + t, 0, wmax)]
+                le = leading_eq(wa, wb)
+                ext = ext + jnp.where(open_, le, 0)
+                open_ = open_ & (le == 4)
+            ext = jnp.minimum(ext, jnp.maximum(n - a, 0))  # cap at data end
+            cln = cln + jnp.where(act, ext, 0)
+            act = act & (ext == 16) & (cbase + cln < n)
 
-    def t2_body(state):
-        act2, ln2 = state
-        d0 = jnp.min(jnp.where(act2, doff, _BIG))
-        prev = jnp.where(j >= d0, jnp.roll(x, d0), -1)
-        eq = (x == prev) & (j < n)
-        mm = jnp.where(eq, _BIG, j)
-        rm = jnp.flip(jax.lax.cummin(jnp.flip(mm)))
-        col = jnp.maximum(jnp.minimum(rm, n) - j, 0)
-        mine = act2 & (doff == d0)
-        ln2 = jnp.where(mine, col[safe_base], ln2)
-        return act2 & ~mine, ln2
+        # tier 2: close long runs by distinct offset, one column at a time
+        def t2_body(state2):
+            act2, cln2 = state2
+            d0 = jnp.min(jnp.where(act2, cdoff, _BIG))
+            prev = jnp.where(j >= d0, jnp.roll(x, d0), -1)
+            eq = (x == prev) & (j < n)
+            mm = jnp.where(eq, _BIG, j)
+            rm = jnp.flip(jax.lax.cummin(jnp.flip(mm)))
+            col = jnp.maximum(jnp.minimum(rm, n) - j, 0)
+            mine = act2 & (cdoff == d0)
+            cln2 = jnp.where(mine, col[jnp.clip(cbase, 0, npos - 1)], cln2)
+            return act2 & ~mine, cln2
 
-    act, ln = jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body, (act, ln))
-    return ln
+        _, cln = jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body,
+                                    (act, cln))
+        ln = ln.at[idx].add(jnp.where(lanes, cln, 0), mode="drop")
+        remaining = remaining & ~jnp.zeros(
+            npos, jnp.bool_).at[idx].set(lanes, mode="drop")
+        return remaining, ln
+
+    _, length = jax.lax.while_loop(
+        lambda s: jnp.any(s[0]), wave,
+        (active, jnp.zeros(npos, jnp.int32)))
+    return length
 
 
 @functools.partial(jax.jit, static_argnames=("window", "cap", "chunk"))
