@@ -229,6 +229,60 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
     return length
 
 
+def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
+               window: int = spec.WINDOW_SIZE,
+               cap: int = spec.SEARCH_MATCH_MAX,
+               chunk: int = 4096):
+    """Per-position greedy (score, off) via chunked per-k sorts."""
+    x = x.astype(jnp.int32)
+    npos = x.shape[0]
+    chunk = min(chunk, npos)
+    nrows = -(-npos // chunk)
+    ctx = window + 1
+    m = ctx + chunk + _GRAM_TAIL
+
+    # Uniform rows out of a padded copy: row r = xp[r*chunk : r*chunk + m],
+    # where xp carries ctx leading zeros.
+    xp = jnp.concatenate(
+        [jnp.zeros(ctx, jnp.int32), x,
+         jnp.zeros(nrows * chunk + _GRAM_TAIL - npos, jnp.int32)])
+    rows = jnp.stack([jax.lax.dynamic_slice(xp, (r * chunk,), (m,))
+                      for r in range(nrows)])               # (R, M)
+    bases = (jnp.arange(nrows, dtype=jnp.int32) * chunk) - ctx
+    lo = jnp.maximum(-bases, 0)                             # first valid idx
+    hi = jnp.clip(n - bases, 0, m)                          # end of data
+
+    per_row = jax.vmap(
+        lambda row, l, h: _row_candidates(row, l, h, window, cap))
+    sc_rows, of_rows = per_row(rows, lo, hi)
+    score = sc_rows[:, ctx:ctx + chunk].reshape(-1)[:npos]
+    off = of_rows[:, ctx:ctx + chunk].reshape(-1)[:npos]
+    return score, off
+
+
+def small_extension(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
+                    off: jnp.ndarray, cap: int):
+    """(full, capped): exact run lengths where cheaply known.
+
+    full is exact except where ``capped`` (score == cap with offset beyond
+    the diagonal tables); there it holds the lower bound ``cap``.
+    """
+    npos = x.shape[0]
+    i = jnp.arange(npos, dtype=jnp.int32)
+    full = score
+    need_ext = score >= cap
+    runs = _diag_runs(x, n, _DIAG)                          # (DIAG, N)
+    base = jnp.minimum(i + cap, npos - 1)
+    ext_small = jnp.zeros(npos, jnp.int32)
+    for d in range(1, _DIAG + 1):
+        ext_small = jnp.where(off == d, runs[d - 1][base], ext_small)
+    ext_small = jnp.where(i + cap < n, ext_small, 0)
+    small = need_ext & (off <= _DIAG)
+    full = jnp.where(small, cap + ext_small, full)
+    capped = need_ext & (off > _DIAG) & (i + cap < n)
+    return full, capped
+
+
 @functools.partial(jax.jit, static_argnames=("window", "cap", "chunk"))
 def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
                  window: int = spec.WINDOW_SIZE,
@@ -248,44 +302,9 @@ def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
     """
     x = x.astype(jnp.int32)
     npos = x.shape[0]
-    chunk = min(chunk, npos)
-    nrows = -(-npos // chunk)
-    ctx = window + 1
-    m = ctx + chunk + _GRAM_TAIL
-
-    # Uniform rows out of a padded copy: row r = xp[r*chunk : r*chunk + m],
-    # where xp carries ctx leading zeros; row-local data range is
-    # [max(0, ctx - r*chunk - 0) ...] handled via lo/hi masks below.
-    xp = jnp.concatenate(
-        [jnp.zeros(ctx, jnp.int32), x,
-         jnp.zeros(nrows * chunk + _GRAM_TAIL - npos, jnp.int32)])
-    rows = jnp.stack([jax.lax.dynamic_slice(xp, (r * chunk,), (m,))
-                      for r in range(nrows)])               # (R, M)
-    bases = (jnp.arange(nrows, dtype=jnp.int32) * chunk) - ctx
-    lo = jnp.maximum(-bases, 0)                             # first valid idx
-    hi = jnp.clip(n - bases, 0, m)                          # end of data
-
-    per_row = jax.vmap(
-        lambda row, l, h: _row_candidates(row, l, h, window, cap))
-    sc_rows, of_rows = per_row(rows, lo, hi)
-    score = sc_rows[:, ctx:ctx + chunk].reshape(-1)[:npos]
-    off = of_rows[:, ctx:ctx + chunk].reshape(-1)[:npos]
-
-    # --- extension of capped matches to the exact run length ---
-    full = score
-    need_ext = score >= cap
     i = jnp.arange(npos, dtype=jnp.int32)
-
-    runs = _diag_runs(x, n, _DIAG)                          # (DIAG, N)
-    base = jnp.minimum(i + cap, npos - 1)
-    ext_small = jnp.zeros(npos, jnp.int32)
-    for d in range(1, _DIAG + 1):
-        ext_small = jnp.where(off == d, runs[d - 1][base], ext_small)
-    ext_small = jnp.where(i + cap < n, ext_small, 0)
-    small = need_ext & (off <= _DIAG)
-    full = jnp.where(small, cap + ext_small, full)
-
-    far = need_ext & (off > _DIAG) & (i + cap < n)
-    ext_far = _probe_extension(x, n, i + cap, off, far)
-    full = jnp.where(need_ext & (off > _DIAG), cap + ext_far, full)
+    score, off = candidates(x, n, window=window, cap=cap, chunk=chunk)
+    full, capped = small_extension(x, n, score, off, cap)
+    ext_far = _probe_extension(x, n, i + cap, off, capped)
+    full = jnp.where(capped, cap + ext_far, full)
     return score, off, full

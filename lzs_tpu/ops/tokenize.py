@@ -66,19 +66,21 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
 @jax.jit
 def emission_units(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
-                   off: jnp.ndarray, full: jnp.ndarray):
+                   off: jnp.ndarray, full: jnp.ndarray,
+                   starts: jnp.ndarray | None = None):
     """Per-position emission units for the bit packer.
 
     Returns (value, width, starts, length):
       value, width: int32[N]; width 0 means the position emits nothing.
       starts: bool[N] token-start flags; length: int32[N] token length at
-      starts (1 for literals).
+      starts (1 for literals). Pass precomputed ``starts`` to skip the walk.
     """
     npos = x.shape[0]
     i = jnp.arange(npos, dtype=jnp.int32)
     is_match = (score >= spec.MIN_MATCH) & (i < n)
     length = jnp.where(is_match, full, 1)
-    starts = token_starts(jnp.where(i < n, length, 1), n)
+    if starts is None:
+        starts = token_starts(jnp.where(i < n, length, 1), n)
 
     # --- head units at token starts ---
     initial = jnp.clip(jnp.minimum(length, spec.MAX_SHORT_LENGTH), 0, 8)
