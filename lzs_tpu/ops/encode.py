@@ -51,44 +51,15 @@ def sync_slots(block: int, sync_k: int = SYNC_K) -> int:
 
 
 def _pipeline(x, n, window, cap, chunk, backend):
-    """Match search -> greedy tokens -> packed stream.
-
-    The sort backend defers exact far-offset run extension to a greedy
-    *fixpoint*: tokenize with lower-bound lengths, exactly extend only the
-    capped tokens the walk actually visits (ops.sortmatch._probe_extension
-    on a compacted set), re-walk until no visited token is capped. Probe
-    volume is linear in matched bytes — interior positions of long matches
-    are never extended.
-    """
     x = x.astype(jnp.int32)
-    npos = x.shape[0]
-    i = jnp.arange(npos, dtype=jnp.int32)
     if backend == "sort":
-        score, off = sortmatch.candidates(
+        score, off, full = sortmatch.best_matches(
             x, n, window=window, cap=cap, chunk=chunk)
-        full0, capped0 = sortmatch.small_extension(x, n, score, off, cap)
-        is_match = (score >= spec.MIN_MATCH) & (i < n)
-
-        def fix_step(state):
-            full, capped, starts, _ = state
-            length = jnp.where(is_match, full, 1)
-            starts = tokenize.token_starts(jnp.where(i < n, length, 1), n)
-            need = starts & capped
-            done = ~jnp.any(need)
-            ext = sortmatch._probe_extension(x, n, i + cap, off, need)
-            full = jnp.where(need, cap + ext, full)
-            return full, capped & ~need, starts, done
-
-        init = (full0, capped0, jnp.zeros(npos, jnp.bool_),
-                jnp.bool_(False))
-        full, _, starts, _ = jax.lax.while_loop(
-            lambda s: ~s[3], fix_step, init)
     else:
         score, off, full = match.best_matches(
             x, n, window=window, cap=cap, chunk=min(chunk, 256))
-        starts = None
     value, width, starts, length = tokenize.emission_units(
-        x, n, score, off, full, starts)
+        x, n, score, off, full)
     value = jnp.concatenate([value, jnp.array([spec.END_MARKER_VALUE],
                                               jnp.int32)])
     width = jnp.concatenate([width, jnp.array([spec.END_MARKER_BITS],

@@ -148,7 +148,7 @@ def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
 
 
 _PROBE_ITERS = 3      # tier-1 probes: exact for extensions <= 48 bytes
-_PROBE_CAP = 4096     # compacted probe lanes per wave
+_PROBE_CAP = 2048     # compacted probe lanes per wave
 
 
 def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
@@ -302,9 +302,22 @@ def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
     """
     x = x.astype(jnp.int32)
     npos = x.shape[0]
+    assert npos <= 1 << 15, "sort backend supports blocks up to 32768"
     i = jnp.arange(npos, dtype=jnp.int32)
     score, off = candidates(x, n, window=window, cap=cap, chunk=chunk)
     full, capped = small_extension(x, n, score, off, cap)
-    ext_far = _probe_extension(x, n, i + cap, off, capped)
-    full = jnp.where(capped, cap + ext_far, full)
+
+    # Far-offset extension, probed only at *region heads*: consecutive
+    # capped positions with the same offset d satisfy
+    # runlen(i+1, d) = runlen(i, d) - 1 (the run loses its first byte), so
+    # one probe per maximal same-d run serves the whole run by subtraction.
+    prev_c = jnp.concatenate([jnp.zeros(1, jnp.bool_), capped[:-1]])
+    prev_o = jnp.concatenate([jnp.zeros(1, jnp.int32), off[:-1]])
+    head = capped & (~prev_c | (off != prev_o))
+    ext_h = _probe_extension(x, n, i + cap, off, head)
+    pk = jax.lax.cummax(
+        jnp.where(head, (i << 16) | jnp.minimum(cap + ext_h, 0xFFFF), -1))
+    hfull = pk & 0xFFFF
+    hpos = pk >> 16
+    full = jnp.where(capped, hfull - (i - hpos), full)
     return score, off, full
