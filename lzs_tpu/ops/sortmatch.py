@@ -147,8 +147,8 @@ def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
     return jnp.stack(cols)
 
 
-_PROBE_ITERS = 3      # tier-1 probes: exact for extensions <= 48 bytes
-_PROBE_CAP = 2048     # compacted probe lanes per wave
+_PROBE_ITERS = 2      # tier-1 probes: exact for extensions <= 32 bytes
+_PROBE_CAP = 1024     # compacted probe lanes per wave
 
 
 def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
