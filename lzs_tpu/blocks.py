@@ -10,11 +10,12 @@ Two output formats:
 
   raw        pure concatenated LZS streams. Reference-CLI compatible; decode
              in parallel only if block lengths are known out-of-band.
-  container  (version 2) a header carrying block size, per-block compressed
-             lengths, and parse sync records — (bit offset, output offset)
-             token-head checkpoints every ~sync_k parse steps — enabling
-             interval-parallel decode (ops.decode2). The payload remains the
-             raw concatenation, still decodable by the reference decoder.
+  container  (version 3) a header carrying block size, per-block compressed
+             lengths, and parse sync records — parser-state checkpoints at
+             the last parse point before every multiple of ``span``
+             compressed bits — enabling gather-free lane-parallel decode
+             (ops.decode2). The payload remains the raw concatenation,
+             still decodable by the reference decoder.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ from .ops import decode2 as dec2_ops
 from .ops import encode as enc_ops
 
 MAGIC = b"LZST"
-VERSION = 2
+VERSION = 3
 DEFAULT_BLOCK = 1 << 15
 _HDR = "<4sBBHIIQ"
 
@@ -71,15 +72,15 @@ class BlockCodec:
     """Batch codec over fixed-size blocks with cached jitted kernels."""
     block: int = DEFAULT_BLOCK
     chunk: int = 4096
-    sync_k: int = enc_ops.SYNC_K
+    span: int = enc_ops.SYNC_SPAN
 
     def __post_init__(self):
         self.cap = enc_ops.cap_bytes(self.block)
-        self.slots = enc_ops.sync_slots(self.block, self.sync_k)
+        self.slots = enc_ops.sync_slots(self.block, self.span)
         self._enc = enc_ops.make_encoder(self.block, chunk=self.chunk,
-                                         sync=True, sync_k=self.sync_k)
+                                         sync=True, span=self.span)
         self._dec_sync = dec2_ops.make_decoder_sync(self.cap, self.block,
-                                                    sync_k=self.sync_k)
+                                                    span=self.span)
         self._dec_raw = None
 
     # -- device-level primitives (fixed batch shape) --
@@ -121,7 +122,7 @@ class BlockCodec:
                                  axis=1).astype(np.uint32))
         recs_np = (np.concatenate(recs) if recs
                    else np.zeros((0, 2), np.uint32))
-        header = struct.pack(_HDR, MAGIC, VERSION, 0, self.sync_k,
+        header = struct.pack(_HDR, MAGIC, VERSION, 0, self.span,
                              self.block, len(clens_np), len(data))
         return (header + clens_np.tobytes() + nsync_np.tobytes()
                 + endbits.tobytes() + recs_np.tobytes() + payload)
@@ -129,12 +130,12 @@ class BlockCodec:
     def decompress(self, blob: bytes) -> bytes:
         if blob[:4] != MAGIC:
             raise ValueError("not a container stream; use raw decode")
-        magic, ver, _f, sync_k, block, nblocks, orig = struct.unpack_from(
+        magic, ver, _f, span, block, nblocks, orig = struct.unpack_from(
             _HDR, blob)
         if ver != VERSION:
             raise ValueError(f"unsupported container version {ver}")
-        if block != self.block or sync_k != self.sync_k:
-            raise ValueError("container block/sync_k mismatch with codec")
+        if block != self.block or span != self.span:
+            raise ValueError("container block/span mismatch with codec")
         pos = struct.calcsize(_HDR)
         clens = np.frombuffer(blob, np.uint32, nblocks, pos).astype(np.int32)
         pos += 4 * nblocks

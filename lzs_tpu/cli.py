@@ -44,8 +44,8 @@ def _decompress(args) -> int:
         from .blocks import BlockCodec
         import struct
         block = struct.unpack_from("<I", data, 8)[0]
-        sync_k = struct.unpack_from("<H", data, 6)[0]
-        out = BlockCodec(block=block, sync_k=sync_k).decompress(data)
+        span = struct.unpack_from("<H", data, 6)[0]
+        out = BlockCodec(block=block, span=span).decompress(data)
     else:
         from .stream import decompress_stream
         out = decompress_stream(data)

@@ -2,12 +2,15 @@
 
 The bit-serial token parse is the sequential core of LZS decode
 (lzs-decompression.c:459-743). The container format sidesteps it: the
-encoder records sync points — (bit offset, output offset) of a token head
-every ~sync_k parse steps (encode.encode_block_sync) — so one stream is
-parsed by hundreds of independent *interval lanes* in a short ``lax.scan``
-whose step count is the per-interval parse budget, not the stream length.
-A parse step consumes either one token head or a run of up to 8 extension
-nibbles (one 32-bit window).
+encoder records parser state at the last parse point before every multiple
+of ``span`` compressed bits (encode.encode_block_sync), so lane l of the
+decoder owns the statically located bit range [span*l - 24, span*(l+1))
+— its word fetches stay inside a per-lane tile of span/32 + 2 words that
+is carved out of the stream with *reshapes only*. Per parse step a lane
+reads one 32-bit window from its tile via a tiny one-hot dot product
+(TPU has no fast per-lane gather; a 66-wide masked reduction is cheap and
+vectorizes). A parse step consumes either one token head (<= 17 bits) or
+a run of up to 6 extension nibbles (24 bits).
 
 Expansion (LZ77 copy resolution) is a window-carry chunk scan: per output
 chunk, each byte's ultimate source is strictly before its own token start
@@ -36,32 +39,68 @@ _CHUNK = 256          # expansion chunk (bytes per scan step)
 _WIN = 2048           # carried window capacity (>= WINDOW_SIZE)
 
 
-def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
-           scan_len: int):
-    """Interval-parallel token parse of one block's stream.
+def _lane_tiles(comp: jnp.ndarray, nslots: int, span: int):
+    """Carve per-lane word tiles out of the stream with reshapes only.
 
-    comp: uint8[C]; sync_bit: int32[I] record bit offsets; sync_out:
-    int32[I] packed records — output offset (bits 0..16) | mode (bit 17) |
-    current match offset (bits 18..28) — sentinel-filled past nsync.
-    Returns per-step segment arrays, each int32[scan_len, I]:
+    comp: uint8[C]. Returns float32[nslots, wpl + 2] hi/lo half-word
+    planes, where tile[l, j] = word[wpl*l - 1 + j] (big-endian 32-bit
+    words of the padded stream; out-of-range words are zero).
+    """
+    wpl = span // 32
+    nwords = nslots * wpl
+    b = comp.astype(jnp.int32)
+    need = nwords * 4
+    if b.shape[0] < need:
+        b = jnp.concatenate([b, jnp.zeros(need - b.shape[0], jnp.int32)])
+    else:
+        b = b[:need]
+    b = b.reshape(nwords, 4)
+    w = (b[:, 0] << 24) | (b[:, 1] << 16) | (b[:, 2] << 8) | b[:, 3]
+    cur = w.reshape(nslots, wpl)
+    prev = jnp.concatenate([jnp.zeros(1, jnp.int32), w[:-1]])
+    col0 = prev.reshape(nslots, wpl)[:, :1]
+    nxt = jnp.concatenate([cur[1:, :1], jnp.zeros((1, 1), jnp.int32)])
+    tile = jnp.concatenate([col0, cur, nxt], axis=1)      # [L, wpl + 2]
+    hi = ((tile >> 16) & 0xFFFF).astype(jnp.float32)
+    lo = (tile & 0xFFFF).astype(jnp.float32)
+    return hi, lo
+
+
+def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
+           span: int):
+    """Lane-parallel token parse of one block's stream.
+
+    comp: uint8[C]; sync_bit: int32[L] record bit offsets (slot l is the
+    last parse point before bit span*l; sentinel-filled past nsync);
+    sync_out: int32[L] packed records — output offset (bits 0..16) |
+    mode (bit 17) | current match offset (bits 18..28).
+    Returns per-step segment arrays, each int32[scan_len, L]:
       kind (0 none / 1 literal / 2 copy), payload (literal byte or offset),
       length, opos.
     """
-    data = jnp.concatenate([comp.astype(jnp.int32), jnp.zeros(8, jnp.int32)])
-    w4 = ((data[:-3] << 24) | (data[1:-2] << 16)
-          | (data[2:-1] << 8) | data[3:])
-    wmax = w4.shape[0] - 1
+    nslots = sync_bit.shape[0]
+    wpl = span // 32
+    hi, lo = _lane_tiles(comp, nslots, span)
+    iota = jnp.arange(wpl + 1, dtype=jnp.int32)[None, :]
+    base = jnp.arange(nslots, dtype=jnp.int32) * wpl - 1
 
     end_bit = jnp.concatenate([sync_bit[1:], sync_bit[-1:]])
+    scan_len = enc.sync_scan_len(span)
 
     def step(state, _):
         bitpos, outpos, mode, cur_off = state
         active = bitpos < end_bit
-        byte = jnp.clip(bitpos >> 3, 0, wmax)
-        sh = (bitpos & 7).astype(jnp.uint32)
-        # one word fetch per step: >= 25 valid bits after the shift (token
-        # heads need <= 17, nibble groups read 24)
-        w = w4[byte].astype(jnp.uint32) << sh
+        q = jnp.clip((bitpos >> 5) - base, 0, wpl)
+        oh = (iota == q[:, None]).astype(jnp.float32)
+        # half-words combine exactly only in integer space (f32 mantissa
+        # is 24 bits; a full 32-bit word would round)
+        def fetch(plane):
+            return jnp.sum(oh * plane, axis=1).astype(jnp.uint32)
+        wa = (fetch(hi[:, :wpl + 1]) << 16) | fetch(lo[:, :wpl + 1])
+        wb = (fetch(hi[:, 1:]) << 16) | fetch(lo[:, 1:])
+        sh = (bitpos & 31).astype(jnp.uint32)
+        w = (wa << sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                   wb >> (jnp.uint32(32) - sh))
 
         # --- NORMAL: one token head ---
         flag = (w >> 31).astype(jnp.int32)
@@ -121,10 +160,10 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
     return kind, payload, length, opos
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "sync_k"))
+@functools.partial(jax.jit, static_argnames=("out_cap", "span"))
 def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
                       sync_out: jnp.ndarray, n: jnp.ndarray, *,
-                      out_cap: int, sync_k: int = enc.SYNC_K):
+                      out_cap: int, span: int = enc.SYNC_SPAN):
     """Decode one container block with sync metadata.
 
     Args:
@@ -135,8 +174,7 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
 
     Returns uint8[out_cap] (bytes past ``n`` are zero).
     """
-    scan_len = sync_k
-    kind, payload, length, opos = _parse(comp, sync_bit, sync_out, scan_len)
+    kind, payload, length, opos = _parse(comp, sync_bit, sync_out, span)
     kind, payload, length, opos = (a.reshape(-1)
                                    for a in (kind, payload, length, opos))
 
@@ -194,8 +232,8 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
 
 
 def make_decoder_sync(in_cap: int, out_cap: int, *,
-                      sync_k: int = enc.SYNC_K):
+                      span: int = enc.SYNC_SPAN):
     """Jitted batch decoder over container blocks with sync records."""
     fn = functools.partial(decode_block_sync, out_cap=out_cap,
-                           sync_k=sync_k)
+                           span=span)
     return jax.jit(jax.vmap(fn))

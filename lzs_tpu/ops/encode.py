@@ -6,11 +6,13 @@ prefix-sum bit pack (bitpack.py) -> end marker + padding. Output is
 byte-identical to the reference C encoders for any input (policy verified
 in tests against lzs_compress / lzs_simple_compress / the incremental CLI).
 
-``encode_block_sync`` additionally emits decode sync metadata: token-start
-records (bit offset, output offset) chosen every ~``sync_k`` parse steps,
-so the container-format decoder can parse one stream with thousands of
-independent lanes (see decode2.py). Records live in the container framing
-only — the LZS payload stays reference-compatible.
+``encode_block_sync`` additionally emits decode sync metadata: parser-state
+records at the last parse point before every multiple of ``span``
+compressed bits, so the container-format decoder can parse one stream with
+hundreds of independent lanes over statically located stream tiles (see
+decode2.py — the fixed spacing is what makes the parallel parse
+gather-free). Records live in the container framing only — the LZS payload
+stays reference-compatible.
 """
 
 from __future__ import annotations
@@ -26,10 +28,15 @@ from . import bitpack, match, sortmatch, tokenize
 #: nibbles consumed per parse step inside an extension run (decode2 contract:
 #: a parse step sees >= 25 valid bits from one word fetch, so 6 nibbles)
 NIBBLES_PER_STEP = 6
-#: default parse steps per sync interval (boundaries may fall mid-token:
-#: records carry parser mode/offset, so every interval is exactly this many
-#: parse steps and the decode scan needs no mega-token slack)
-SYNC_K = 512
+#: default compressed-bit span between sync records. Records sit at the last
+#: parse point before every multiple of ``span`` bits, so decode lane l owns
+#: a *statically located* word tile of the stream — the parse needs no
+#: gathers. Must be a multiple of 32 and > 24 (the widest parse step).
+SYNC_SPAN = 2048
+#: widest parse step in bits: a token head is <= 17, a 6-nibble group is 24
+MAX_STEP_BITS = 24
+#: narrowest parse step in bits (a literal: flag + 8)
+MIN_STEP_BITS = 9
 
 
 def cap_bytes(block: int) -> int:
@@ -38,16 +45,14 @@ def cap_bytes(block: int) -> int:
     return (spec.compressed_max(block) + 11) & ~3
 
 
-def max_token_cost(block: int) -> int:
-    """Parse steps of the costliest single token: head + nibble groups."""
-    q = max(0, -(-(block - spec.MAX_SHORT_LENGTH)
-                 // spec.MAX_EXTENDED_LENGTH))
-    return 1 + -(-q // NIBBLES_PER_STEP)
-
-
-def sync_slots(block: int, sync_k: int = SYNC_K) -> int:
+def sync_slots(block: int, span: int = SYNC_SPAN) -> int:
     """Static number of sync-record slots for a block."""
-    return -(-(block + 2) // sync_k) + 1
+    return -(-(cap_bytes(block) * 8) // span) + 1
+
+
+def sync_scan_len(span: int = SYNC_SPAN) -> int:
+    """Static parse-step budget per decode lane for a given record span."""
+    return -(-(span + MAX_STEP_BITS) // MIN_STEP_BITS) + 1
 
 
 def _pipeline(x, n, window, cap, chunk, backend):
@@ -93,13 +98,20 @@ def encode_block(x: jnp.ndarray, n: jnp.ndarray, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "cap", "chunk", "backend", "sync_k"))
+    jax.jit, static_argnames=("window", "cap", "chunk", "backend", "span"))
 def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
                       window: int = spec.WINDOW_SIZE,
                       cap: int = spec.SEARCH_MATCH_MAX,
                       chunk: int = 4096, backend: str = "sort",
-                      sync_k: int = SYNC_K):
+                      span: int = SYNC_SPAN):
     """Encode one block and emit parse sync records.
+
+    Record slot l >= 1 holds the parser state at the *last* parse point
+    before bit ``span * l`` (one always exists within MAX_STEP_BITS of the
+    boundary since no parse step spans more bits); slot 0 is the stream
+    start. Decode lane l therefore parses only bits
+    [span*l - MAX_STEP_BITS, span*(l+1)) — a statically located slice, so
+    the decoder's word fetches stay inside a small per-lane tile.
 
     Returns:
       comp: uint8[cap_bytes(N)], nbytes: int32,
@@ -107,9 +119,11 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
       sync_out: int32[I] packed record: output byte offset (bits 0..16) |
         parser mode (bit 17) | current match offset (bits 18..28) — mode 1
         resumes inside an extension-nibble chain,
-      nsync: int32 number of valid records (remaining slots hold the
-        stream-end sentinel: sync_bit = total token bits, sync_out = n).
+      nsync: int32 number of lanes (= ceil(token_bits / span)); remaining
+      slots hold the stream-end sentinel: sync_bit = total token bits,
+      sync_out = n.
     """
+    assert span % 32 == 0 and span > MAX_STEP_BITS
     npos = x.shape[0]
     comp, nbytes, total_bits, offs, width, starts, off = _pipeline(
         x, n, window, cap, chunk, backend)
@@ -124,10 +138,8 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
     owner_off = okey & 0xFFF
     t = i - owner_i - 1
     is_step = starts | (is_nib & (t % NIBBLES_PER_STEP == 0))
-    cc = jnp.cumsum(is_step.astype(jnp.int32)) - is_step
-    boundary = is_step & (cc % sync_k == 0)
 
-    # parser state at a boundary: output offset, mode, current offset.
+    # parser state at a step: output offset, mode, current offset.
     # A nibble group at chain index t extends output at owner+8+15*t.
     opos = jnp.where(starts, i,
                      owner_i + spec.MAX_SHORT_LENGTH
@@ -135,25 +147,38 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
     rec = jnp.where(starts, i,
                     opos | (1 << 17) | (owner_off << 18))
 
-    nslots = sync_slots(npos, sync_k)
-    rank = jnp.cumsum(boundary) - 1
-    dest = jnp.where(boundary, rank, nslots)
-    # sentinel: end of token bits (before padding) / end of output
+    # span-boundary crossings: the step at bit o crosses slot c when the
+    # next step starts at or past bit span*c. Steps are <= MAX_STEP_BITS
+    # bits, so each step crosses at most one boundary and every slot
+    # 1..nsync-1 receives exactly one record. Crossing slots are monotone
+    # in position, so compacting them to dense slots is a single sort
+    # (XLA scatters serialize on TPU; sorts stream).
     end_bits = total_bits - spec.END_MARKER_BITS
-    sync_bit = jnp.full(nslots, 0, jnp.int32).at[dest].set(
-        offs[:npos], mode="drop")
-    sync_out = jnp.full(nslots, 0, jnp.int32).at[dest].set(rec, mode="drop")
-    nsync = jnp.sum(boundary.astype(jnp.int32))
+    o = offs[:npos]
+    so = jnp.where(is_step, o, jnp.int32(0x3FFFFFFF))
+    nso = jnp.flip(jax.lax.cummin(jnp.flip(so)))
+    next_o = jnp.concatenate([nso[1:], end_bits[None]])
+    c = next_o // span
+    cross = is_step & (o // span < c)
+    nslots = sync_slots(npos, span)
+    key = jnp.where(cross, c, jnp.int32(0x3FFFFFFF))
+    _, bit_s, rec_s = jax.lax.sort((key, o, rec), dimension=0, num_keys=1,
+                                   is_stable=False)
+    built_bit = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 bit_s[:nslots - 1]])
+    built_rec = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 rec_s[:nslots - 1]])
+    nsync = (end_bits + span - 1) // span
     slot = jnp.arange(nslots, dtype=jnp.int32)
-    sync_bit = jnp.where(slot < nsync, sync_bit, end_bits)
-    sync_out = jnp.where(slot < nsync, sync_out, n)
+    sync_bit = jnp.where(slot < nsync, built_bit, end_bits)
+    sync_out = jnp.where(slot < nsync, built_rec, n)
     return comp, nbytes, sync_bit, sync_out, nsync
 
 
 def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
                  cap: int = spec.SEARCH_MATCH_MAX, chunk: int = 4096,
                  backend: str = "sort", sync: bool = False,
-                 sync_k: int = SYNC_K):
+                 span: int = SYNC_SPAN):
     """Return a jitted encoder over fixed block size, vmapped over a batch.
 
     Maps (uint8[B, block], int32[B]) -> (uint8[B, cap_bytes], int32[B])
@@ -161,7 +186,7 @@ def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
     """
     if sync:
         fn = functools.partial(encode_block_sync, window=window, cap=cap,
-                               chunk=chunk, backend=backend, sync_k=sync_k)
+                               chunk=chunk, backend=backend, span=span)
     else:
         fn = functools.partial(encode_block, window=window, cap=cap,
                                chunk=chunk, backend=backend)

@@ -37,14 +37,14 @@ def make_block_mesh(devices=None) -> Mesh:
 
 
 def encode_sharded(mesh: Mesh, block: int, chunk: int = 4096,
-                   sync_k: int = enc_ops.SYNC_K):
+                   span: int = enc_ops.SYNC_SPAN):
     """Build a sharded batch encoder with an ordered all-gather.
 
     Returns fn: (uint8[B, block], int32[B]) ->
     (comp, clens, sync_bit, sync_out, nsync), all replicated after the
     gather so any host can assemble the container.
     """
-    enc = enc_ops.make_encoder(block, chunk=chunk, sync=True, sync_k=sync_k)
+    enc = enc_ops.make_encoder(block, chunk=chunk, sync=True, span=span)
     in_s = NamedSharding(mesh, P(AXIS))
     out_s = NamedSharding(mesh, P())
 
@@ -63,10 +63,10 @@ def encode_sharded(mesh: Mesh, block: int, chunk: int = 4096,
     return call
 
 
-def decode_sharded(mesh: Mesh, block: int, sync_k: int = enc_ops.SYNC_K):
+def decode_sharded(mesh: Mesh, block: int, span: int = enc_ops.SYNC_SPAN):
     """Build a sharded sync-parallel batch decoder (same layout)."""
     cap = enc_ops.cap_bytes(block)
-    dec = dec2_ops.make_decoder_sync(cap, block, sync_k=sync_k)
+    dec = dec2_ops.make_decoder_sync(cap, block, span=span)
     in_s = NamedSharding(mesh, P(AXIS))
     out_s = NamedSharding(mesh, P())
 
@@ -96,14 +96,14 @@ class DistributedCodec:
     mesh: Mesh
     block: int = 1 << 15
     chunk: int = 4096
-    sync_k: int = enc_ops.SYNC_K
+    span: int = enc_ops.SYNC_SPAN
 
     def __post_init__(self):
         self.cap = enc_ops.cap_bytes(self.block)
-        self.slots = enc_ops.sync_slots(self.block, self.sync_k)
+        self.slots = enc_ops.sync_slots(self.block, self.span)
         self._enc = encode_sharded(self.mesh, self.block, self.chunk,
-                                   self.sync_k)
-        self._dec = decode_sharded(self.mesh, self.block, self.sync_k)
+                                   self.span)
+        self._dec = decode_sharded(self.mesh, self.block, self.span)
 
     @property
     def ndev(self) -> int:

@@ -1,8 +1,8 @@
 """Sync-metadata encode/decode (ops.encode_block_sync + ops.decode2).
 
 The container fast path must reproduce exactly the bytes of the reference
-model for any input, with sync boundaries landing at arbitrary token heads
-(including mid-stream extended-length chains owned by a single interval).
+model for any input, with span boundaries landing at arbitrary parse points
+(including mid-stream extended-length chains owned by a single lane).
 """
 
 import numpy as np
@@ -13,14 +13,14 @@ from lzs_tpu.ops import decode2, encode as enc
 from lzs_tpu import reference
 
 
-def roundtrip(data: bytes, block: int, sync_k: int) -> bytes:
+def roundtrip(data: bytes, block: int, span: int) -> bytes:
     n = len(data)
     x = np.zeros(block, np.uint8)
     x[:n] = np.frombuffer(data, np.uint8)
     comp, nbytes, sbit, sout, nsync = enc.encode_block_sync(
-        jnp.asarray(x), jnp.int32(n), sync_k=sync_k)
+        jnp.asarray(x), jnp.int32(n), span=span)
     out = decode2.decode_block_sync(comp, sbit, sout, jnp.int32(n),
-                                    out_cap=block, sync_k=sync_k)
+                                    out_cap=block, span=span)
     return bytes(np.asarray(out)[:n])
 
 
@@ -39,19 +39,19 @@ CASES = {
 
 
 @pytest.mark.parametrize("name", sorted(CASES))
-@pytest.mark.parametrize("sync_k", [48, 768])
-def test_sync_roundtrip(name, sync_k):
+@pytest.mark.parametrize("span", [128, 2048])
+def test_sync_roundtrip(name, span):
     data = CASES[name][:4096]
-    assert roundtrip(data, 4096, sync_k) == data
+    assert roundtrip(data, 4096, span) == data
 
 
-@pytest.mark.parametrize("sync_k", [48, 256])
-def test_sync_stream_matches_reference_model(sync_k):
+@pytest.mark.parametrize("span", [128, 1024])
+def test_sync_stream_matches_reference_model(span):
     data = (b"sync points must not change the payload " * 100)[:4096]
     x = np.zeros(4096, np.uint8)
     x[:len(data)] = np.frombuffer(data, np.uint8)
     comp, nbytes, _, _, _ = enc.encode_block_sync(
-        jnp.asarray(x), jnp.int32(len(data)), sync_k=sync_k)
+        jnp.asarray(x), jnp.int32(len(data)), span=span)
     got = bytes(np.asarray(comp)[:int(nbytes)])
     want = reference.lzs_compress(data)
     assert got == want
@@ -77,4 +77,4 @@ def test_sync_mixed_batch_fuzz():
                 prev = b"".join(parts)
                 parts.append(prev[:rng.integers(0, min(len(prev) + 1, 800))])
         data = b"".join(parts)[:4096]
-        assert roundtrip(data, 4096, 96) == data
+        assert roundtrip(data, 4096, 160) == data
