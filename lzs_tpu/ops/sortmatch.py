@@ -4,26 +4,40 @@ Computes the same per-position greedy match decision as
 ``lzs_tpu.ops.match.best_matches`` (the exhaustive reference kernel) —
 the policy pinned byte-identical to the reference C encoders
 (lzs-compression.c:326-362, lzs-compression-simple.c:266-278; see
-lzs_tpu.spec) — but in O(N log N) work instead of O(N * window):
+lzs_tpu.spec) — in O(N log N) sort work:
 
-  score[i] = max k in [2, 12] such that the k-gram at i occurs at some
-             j in [i - 2047, i - 1]              (capped greedy score)
+  score[i] = max k in [2, cap] such that the k-gram at i occurs at some
+             j in [i - window, i - 1]             (capped greedy score)
   off[i]   = i - j* where j* is the *nearest* such occurrence for k = score
-  full[i]  = exact run length of the chosen offset (= score when score < 12)
+  full[i]  = exact run length of the chosen offset (= score when score < cap)
 
-Key identity: min(runlen(i, d), 12) >= k  <=>  the k-gram starting at i
-equals the k-gram starting at i - d (overlap allowed, which handles the
-self-referencing RLE case), so "best capped match" reduces to eleven
-instances of "nearest previous equal k-gram within the window" — each
-solved with one stable sort (grams as lexicographic keys, position as
-tie-break): the predecessor of i inside its equal-key group is exactly
-the nearest previous occurrence. Sorting is the TPU-native primitive
-here; it replaces both the reference's sequential hash chains and the
-quadratic windowed compare plane.
+Structure (one suffix-style sort, then one cheap packed sort per k):
 
-Positions are processed in window-aligned chunks (each chunk row carries
-the preceding 2047+1 bytes of context plus an 11-byte gram tail) so sorts
-run on short rows — the batched many-short-rows shape TPUs sort fastest.
+  1. ONE sort of all positions by their cap-byte gram (packed into 32-bit
+     big-endian words; position as the final key). Byte-level LCPs of
+     rank-adjacent elements (``plcp``) then identify, for every k, the
+     "k-segments": maximal rank runs sharing a k-byte prefix (the min-LCP
+     interval property of lexicographic order).
+  2. Per k: each element's k-segment head is a running max of segment
+     breaks (one cummax), and one SINGLE-OPERAND sort of seg<<15|pos
+     orders each segment by position — the sorted predecessor is exactly
+     the nearest previous occurrence of the k-gram. A second
+     single-operand sort of pos<<16|cand restores position order.
+
+  Single-operand sorts are what the TPU sorts fastest (comparator cost
+  dominates lax.sort; measured ~0.9 ms per (64, 32768) int32 sort vs
+  ~2.5 ms for 4-key sorts), so deriving the 11 per-k orders from packed
+  keys costs ~one-third of sorting per-k gram keys directly.
+
+Correctness notes:
+  * The nearest previous occurrence is global; if it is farther than
+    ``window``, no closer one exists, so the window test on the sorted
+    predecessor alone is exact.
+  * No validity masking is needed anywhere: an element e whose gram
+    overruns the data (e + k > n) satisfies e > n - k >= q for every
+    valid query position q (q + k <= n), so e sorts after all valid
+    queries inside any segment and can never be a predecessor; invalid
+    *queries* are masked out of the final reduction only.
 
 Extension beyond the capped score (the COMPRESS_EXTENDED re-measure loop,
 lzs-compression.c:417-431) splits by offset:
@@ -43,26 +57,8 @@ import jax.numpy as jnp
 
 from .. import spec
 
-_INVALID_KEY = jnp.int32(0x01000000)   # > any 24-bit gram chunk
 _DIAG = 16                             # diagonals with exact run tables
-_GRAM_TAIL = 12                        # bytes a 12-gram reads past a chunk
 _BIG = jnp.int32(0x3FFFFFFF)
-
-# Key schedule: k-gram keys as 24-bit chunks (gram3) plus an 8/16-bit tail.
-# Entry: tuple of (byte_offset, gram_len) pairs, concatenated lexicographic.
-_KEY_PLAN = {
-    2: ((0, 2),),
-    3: ((0, 3),),
-    4: ((0, 3), (3, 1)),
-    5: ((0, 3), (3, 2)),
-    6: ((0, 3), (3, 3)),
-    7: ((0, 3), (3, 3), (6, 1)),
-    8: ((0, 3), (3, 3), (6, 2)),
-    9: ((0, 3), (3, 3), (6, 3)),
-    10: ((0, 3), (3, 3), (6, 3), (9, 1)),
-    11: ((0, 3), (3, 3), (6, 3), (9, 2)),
-    12: ((0, 3), (3, 3), (6, 3), (9, 3)),
-}
 
 
 def _shift(x: jnp.ndarray, s: int) -> jnp.ndarray:
@@ -73,62 +69,78 @@ def _shift(x: jnp.ndarray, s: int) -> jnp.ndarray:
     return jnp.concatenate([x[..., s:], pad], axis=-1)
 
 
-def _gram(x: jnp.ndarray, off: int, glen: int) -> jnp.ndarray:
-    """Big-endian gram value (<= 24 bits) starting at i + off."""
-    g = jnp.zeros(x.shape, jnp.int32)
-    for t in range(glen):
-        g = (g << 8) | _shift(x, off + t)
-    return g
+def _gram_words(x: jnp.ndarray, nwords: int) -> list[jnp.ndarray]:
+    """Big-endian 4-byte gram words starting at each position.
 
-
-def _nearest_prev(keys, pos, window):
-    """Nearest previous same-key position per element of one row.
-
-    keys: list of int32[M] lexicographic key parts; pos: int32[M] ascending.
-    Returns int32[M] candidate position (row-local), or -1, in pos order.
+    x: int32[N] byte values. Returns nwords uint32[N] arrays; word w holds
+    bytes [4w, 4w+4) of the gram (zeros past the array end).
     """
-    operands = tuple(keys) + (pos,)
-    out = jax.lax.sort(operands, dimension=0, num_keys=len(keys),
-                       is_stable=True)
-    spos = out[-1]
-    same = jnp.ones(spos.shape, jnp.bool_)
-    for ksorted in out[:-1]:
-        same = same & (ksorted == jnp.concatenate(
-            [jnp.full(1, -1, jnp.int32), ksorted[:-1]]))
-    prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), spos[:-1]])
-    delta = spos - prev
-    cand = jnp.where(same & (delta >= 1) & (delta <= window), prev, -1)
-    # back to position order: a sort by position is ~5x cheaper than the
-    # equivalent scatter on TPU
-    return jax.lax.sort((spos, cand), dimension=0, num_keys=1,
-                        is_stable=False)[1]
+    words = []
+    for w in range(nwords):
+        g = jnp.zeros(x.shape, jnp.uint32)
+        for t in range(4):
+            g = (g << 8) | _shift(x, 4 * w + t).astype(jnp.uint32)
+        words.append(g)
+    return words
 
 
-def _row_candidates(row: jnp.ndarray, lo: jnp.ndarray, hi: jnp.ndarray,
-                    window: int, cap: int):
-    """Per-row greedy (score, off) via per-k sorts.
+def _rank_lcp(words: list[jnp.ndarray], cap: int) -> jnp.ndarray:
+    """Byte LCP (capped at cap) of rank-adjacent gram words.
 
-    row: int32[M] bytes. Valid data occupies row indices [lo, hi); entries
-    outside are padding and must neither match nor be matched.
-    Returns (score, off): int32[M] (off = 0 where no match).
+    words: sorted uint32 gram-word columns. Returns int32[N] with entry r =
+    LCP(element r-1, element r); entry 0 is 0.
     """
-    m = row.shape[0]
-    i = jnp.arange(m, dtype=jnp.int32)
-    grams = {(o, g): _gram(row, o, g)
-             for plan in _KEY_PLAN.values() for o, g in plan}
-    score = jnp.zeros(m, jnp.int32)
-    off = jnp.zeros(m, jnp.int32)
+    n = words[0].shape[0]
+    lcp = jnp.full(n, cap, jnp.int32)
+    consumed = jnp.zeros(n, jnp.bool_)
+    for w, col in enumerate(words):
+        prev = jnp.concatenate([~col[:1], col[:-1]])   # differ at rank 0
+        z = col ^ prev
+        here = 4 * w + (jax.lax.clz(z) >> 3).astype(jnp.int32)
+        differs = z != 0
+        lcp = jnp.where(differs & ~consumed, jnp.minimum(here, cap), lcp)
+        consumed = consumed | differs
+    return lcp
+
+
+def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
+               window: int = spec.WINDOW_SIZE,
+               cap: int = spec.SEARCH_MATCH_MAX):
+    """Per-position greedy (score, off) for one block.
+
+    x: int32[N] byte values (zeros past ``n``); N <= 32768.
+    Returns (score, off): int32[N] each (off = 0 where no match).
+    """
+    npos = x.shape[0]
+    assert npos <= 1 << 15, "match search supports blocks up to 32768"
+    assert spec.MIN_MATCH <= cap <= 16
+    x = x.astype(jnp.int32)
+    i = jnp.arange(npos, dtype=jnp.int32)
+    nwords = -(-cap // 4)
+
+    words = _gram_words(x, nwords)
+    out = jax.lax.sort(tuple(words) + (i,), dimension=0,
+                       num_keys=nwords + 1)
+    swords, p = list(out[:nwords]), out[-1]
+    plcp = _rank_lcp(swords, cap)
+    r = jnp.arange(npos, dtype=jnp.int32)
+
+    score = jnp.zeros(npos, jnp.int32)
+    off = jnp.zeros(npos, jnp.int32)
     for k in range(spec.MIN_MATCH, cap + 1):
-        plan = _KEY_PLAN[k]
-        keys = [grams[p] for p in plan]
-        invalid = (i < lo) | (i + k > hi)
-        keys[0] = jnp.where(invalid, _INVALID_KEY + i, keys[0])
-        for t in range(1, len(keys)):
-            keys[t] = jnp.where(invalid, 0, keys[t])
-        cand = _nearest_prev(keys, i, window)
-        hit = cand >= 0
+        seg = jax.lax.cummax(jnp.where(plcp < k, r, 0))
+        packed = (seg << 15) | p
+        skey = jax.lax.sort(packed)
+        prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), skey[:-1]])
+        mypos = skey & 0x7FFF
+        prevpos = prev & 0x7FFF
+        same = (skey >> 15) == (prev >> 15)
+        cand = jnp.where(same & (mypos - prevpos <= window), prevpos, -1)
+        back = jax.lax.sort((mypos << 16) | (cand + 1))
+        cand_k = (back & 0xFFFF) - 1
+        hit = (cand_k >= 0) & (i + k <= n)
         score = jnp.where(hit, k, score)
-        off = jnp.where(hit, i - cand, off)
+        off = jnp.where(hit, i - cand_k, off)
     return score, off
 
 
@@ -137,14 +149,13 @@ def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
     d in 1..ndiag, capped at the data end ``n``."""
     npos = x.shape[0]
     j = jnp.arange(npos, dtype=jnp.int32)
-    cols = []
+    mms = []
     for d in range(1, ndiag + 1):
         prev = jnp.concatenate([jnp.zeros(d, x.dtype), x[:-d]])
         eq = (x == prev) & (j >= d) & (j < n)
-        mm = jnp.where(eq, _BIG, j)
-        rm = jnp.flip(jax.lax.cummin(jnp.flip(mm)))
-        cols.append(jnp.maximum(jnp.minimum(rm, n) - j, 0))
-    return jnp.stack(cols)
+        mms.append(jnp.where(eq, _BIG, j))
+    rm = jax.lax.cummin(jnp.stack(mms), axis=1, reverse=True)
+    return jnp.maximum(jnp.minimum(rm, n) - j[None, :], 0)
 
 
 _PROBE_ITERS = 2      # tier-1 probes: exact for extensions <= 32 bytes
@@ -210,7 +221,7 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
             prev = jnp.where(j >= d0, jnp.roll(x, d0), -1)
             eq = (x == prev) & (j < n)
             mm = jnp.where(eq, _BIG, j)
-            rm = jnp.flip(jax.lax.cummin(jnp.flip(mm)))
+            rm = jax.lax.cummin(mm, reverse=True)
             col = jnp.maximum(jnp.minimum(rm, n) - j, 0)
             mine = act2 & (cdoff == d0)
             cln2 = jnp.where(mine, col[jnp.clip(cbase, 0, npos - 1)], cln2)
@@ -227,37 +238,6 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         lambda s: jnp.any(s[0]), wave,
         (active, jnp.zeros(npos, jnp.int32)))
     return length
-
-
-def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
-               window: int = spec.WINDOW_SIZE,
-               cap: int = spec.SEARCH_MATCH_MAX,
-               chunk: int = 4096):
-    """Per-position greedy (score, off) via chunked per-k sorts."""
-    x = x.astype(jnp.int32)
-    npos = x.shape[0]
-    chunk = min(chunk, npos)
-    nrows = -(-npos // chunk)
-    ctx = window + 1
-    m = ctx + chunk + _GRAM_TAIL
-
-    # Uniform rows out of a padded copy: row r = xp[r*chunk : r*chunk + m],
-    # where xp carries ctx leading zeros.
-    xp = jnp.concatenate(
-        [jnp.zeros(ctx, jnp.int32), x,
-         jnp.zeros(nrows * chunk + _GRAM_TAIL - npos, jnp.int32)])
-    rows = jnp.stack([jax.lax.dynamic_slice(xp, (r * chunk,), (m,))
-                      for r in range(nrows)])               # (R, M)
-    bases = (jnp.arange(nrows, dtype=jnp.int32) * chunk) - ctx
-    lo = jnp.maximum(-bases, 0)                             # first valid idx
-    hi = jnp.clip(n - bases, 0, m)                          # end of data
-
-    per_row = jax.vmap(
-        lambda row, l, h: _row_candidates(row, l, h, window, cap))
-    sc_rows, of_rows = per_row(rows, lo, hi)
-    score = sc_rows[:, ctx:ctx + chunk].reshape(-1)[:npos]
-    off = of_rows[:, ctx:ctx + chunk].reshape(-1)[:npos]
-    return score, off
 
 
 def small_extension(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
@@ -294,17 +274,16 @@ def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
       x: int32[N] byte values of one block (padding beyond ``n`` ignored).
       n: int32 scalar true length.
       window / cap: LZS search parameters (2047 / 12 for reference parity).
-      chunk: sort-row chunk length; each row adds window+1 bytes of left
-        context and a 12-byte gram tail.
+      chunk: unused (kept for call compatibility; the search is whole-block).
 
     Returns:
       (score, off, full): int32[N] each, as match.best_matches.
     """
+    del chunk
     x = x.astype(jnp.int32)
     npos = x.shape[0]
-    assert npos <= 1 << 15, "sort backend supports blocks up to 32768"
     i = jnp.arange(npos, dtype=jnp.int32)
-    score, off = candidates(x, n, window=window, cap=cap, chunk=chunk)
+    score, off = candidates(x, n, window=window, cap=cap)
     full, capped = small_extension(x, n, score, off, cap)
 
     # Far-offset extension, probed only at *region heads*: consecutive
