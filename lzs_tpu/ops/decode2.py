@@ -6,11 +6,23 @@ encoder records parser state at the last parse point before every multiple
 of ``span`` compressed bits (encode.encode_block_sync), so lane l of the
 decoder owns the statically located bit range [span*l - 24, span*(l+1))
 — its word fetches stay inside a per-lane tile of span/32 + 2 words that
-is carved out of the stream with *reshapes only*. Per parse step a lane
-reads one 32-bit window from its tile via a tiny one-hot dot product
-(TPU has no fast per-lane gather; a 66-wide masked reduction is cheap and
-vectorizes). A parse step consumes either one token head (<= 17 bits) or
-a run of up to 6 extension nibbles (24 bits).
+is carved out of the stream with *reshapes only*.
+
+The parse is a WORD-FED scan: step s feeds every lane column s of its own
+tile simultaneously (a static slice — no gather, no one-hot fetch), and
+the lane keeps the last two words as a 64-bit register. Up to four tokens
+are parsed per fed word (4 is exact: the densest legal token packing is
+the 17-bit pair "13-bit extended-match head + 4-bit terminating nibble",
+so at most 4 token starts fall in any 32-bit window). A parse substep
+consumes either one token head (<= 17 bits) or a run of up to 6 extension
+nibbles (<= 24 bits), mirroring the incremental decoder's states
+(lzs-decompression.c:505-739) with the nibble loop batched.
+
+Each parsed token becomes ONE packed int32 record (opos<<12 | is_copy<<11
+| payload); zero-length tokens are suppressed so records have strictly
+increasing output positions in lane-major order. Per-byte ownership is
+then a sorted MERGE of records with byte slots (two 2-operand sorts + a
+cummax) — TPU sorts stream ~20x faster than XLA scatters.
 
 Expansion (LZ77 copy resolution) is a window-carry chunk scan: per output
 chunk, each byte's ultimate source is strictly before its own token start
@@ -35,16 +47,18 @@ from .. import spec
 from . import encode as enc
 from .vgather import mxu_gather
 
-_CHUNK = 256          # expansion chunk (bytes per scan step)
+_CHUNK = 1024         # expansion chunk (bytes per scan step)
 _WIN = 2048           # carried window capacity (>= WINDOW_SIZE)
+_SUBSTEPS = 4         # tokens parseable per fed 32-bit word (see docstring)
+_BIG = jnp.int32(0x3FFFFFFF)
 
 
-def _lane_tiles(comp: jnp.ndarray, nslots: int, span: int):
+def _lane_tiles(comp: jnp.ndarray, nslots: int, span: int) -> jnp.ndarray:
     """Carve per-lane word tiles out of the stream with reshapes only.
 
-    comp: uint8[C]. Returns float32[nslots, wpl + 2] hi/lo half-word
-    planes, where tile[l, j] = word[wpl*l - 1 + j] (big-endian 32-bit
-    words of the padded stream; out-of-range words are zero).
+    comp: uint8[C]. Returns int32[nslots, wpl + 2] where
+    tile[l, s] = word[wpl*l - 1 + s] (big-endian 32-bit words of the
+    padded stream; out-of-range words are zero).
     """
     wpl = span // 32
     nwords = nslots * wpl
@@ -60,104 +74,133 @@ def _lane_tiles(comp: jnp.ndarray, nslots: int, span: int):
     prev = jnp.concatenate([jnp.zeros(1, jnp.int32), w[:-1]])
     col0 = prev.reshape(nslots, wpl)[:, :1]
     nxt = jnp.concatenate([cur[1:, :1], jnp.zeros((1, 1), jnp.int32)])
-    tile = jnp.concatenate([col0, cur, nxt], axis=1)      # [L, wpl + 2]
-    hi = ((tile >> 16) & 0xFFFF).astype(jnp.float32)
-    lo = (tile & 0xFFFF).astype(jnp.float32)
-    return hi, lo
+    return jnp.concatenate([col0, cur, nxt], axis=1)      # [L, wpl + 2]
+
+
+def _parse_substep(w, bitpos, outpos, mode, cur_off, can):
+    """Decode one token at the top 24 bits of ``w`` for lanes where ``can``.
+
+    Returns (record, bitpos, outpos, mode, cur_off); record = -1 where
+    nothing was parsed or the token has zero output length.
+    """
+    wu = w.astype(jnp.uint32)
+
+    # --- NORMAL: one token head (lzs-decompression.c:214-343) ---
+    flag = (wu >> 31).astype(jnp.int32)
+    lit = ((wu >> 23) & 0xFF).astype(jnp.int32)
+    offflag = ((wu >> 30) & 1).astype(jnp.int32)
+    off7 = ((wu >> 23) & 0x7F).astype(jnp.int32)
+    off11 = ((wu >> 19) & 0x7FF).astype(jnp.int32)
+    l4 = jnp.where(offflag == 1,
+                   ((wu >> 19) & 0xF).astype(jnp.int32),
+                   ((wu >> 15) & 0xF).astype(jnp.int32))
+    long_len = (l4 >> 2) == 3
+    len_init = jnp.where(long_len, (l4 & 3) + 5, (l4 >> 2) + 2)
+    lw = jnp.where(long_len, 4, 2)
+    is_lit = flag == 0
+    n_off = jnp.where(offflag == 1, off7, off11)
+    n_len = jnp.where(is_lit, 1, len_init)
+    n_consume = jnp.where(is_lit, 9,
+                          1 + jnp.where(offflag == 1, 8, 12) + lw)
+    n_mode = jnp.where((~is_lit) & long_len & ((l4 & 3) == 3), 1, 0)
+
+    # --- EXTENDED: up to 6 nibbles (24 valid bits) in one substep
+    #     (lzs-decompression.c:713-730, batched) ---
+    nw = (~wu | jnp.uint32(0xFF)).astype(jnp.uint32)
+    lzn = jax.lax.clz(nw)
+    nf = jnp.minimum((lzn >> 2).astype(jnp.int32), 6)
+    whole = nf >= 6
+    term = (wu >> (jnp.uint32(28) - 4 * jnp.minimum(
+        nf, 5).astype(jnp.uint32))) & 0xF
+    e_len = jnp.where(whole, 6 * spec.MAX_EXTENDED_LENGTH,
+                      spec.MAX_EXTENDED_LENGTH * nf
+                      + term.astype(jnp.int32))
+    e_consume = jnp.where(whole, 24, 4 * (nf + 1))
+    e_mode = jnp.where(whole, 1, 0)
+
+    is_ext = mode == 1
+    is_copy = is_ext | ~is_lit
+    payload = jnp.where(is_ext, cur_off, jnp.where(is_lit, lit, n_off))
+    length = jnp.where(is_ext, e_len, n_len)
+    consume = jnp.where(is_ext, e_consume, n_consume)
+    rec = jnp.where(can & (length > 0),
+                    (outpos << 12) | (is_copy.astype(jnp.int32) << 11)
+                    | payload, -1)
+    bitpos = bitpos + jnp.where(can, consume, 0)
+    outpos = outpos + jnp.where(can, length, 0)
+    mode = jnp.where(can, jnp.where(is_ext, e_mode, n_mode), mode)
+    cur_off = jnp.where(can & ~is_ext & ~is_lit, n_off, cur_off)
+    return rec, bitpos, outpos, mode, cur_off
 
 
 def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
-           span: int):
+           span: int) -> jnp.ndarray:
     """Lane-parallel token parse of one block's stream.
 
     comp: uint8[C]; sync_bit: int32[L] record bit offsets (slot l is the
     last parse point before bit span*l; sentinel-filled past nsync);
     sync_out: int32[L] packed records — output offset (bits 0..16) |
     mode (bit 17) | current match offset (bits 18..28).
-    Returns per-step segment arrays, each int32[scan_len, L]:
-      kind (0 none / 1 literal / 2 copy), payload (literal byte or offset),
-      length, opos.
+
+    Returns int32[(wpl + 2) * _SUBSTEPS, L] packed token records in step
+    order (lane-major transpose gives records sorted by output position):
+    opos << 12 | is_copy << 11 | payload, or -1 for empty slots.
     """
     nslots = sync_bit.shape[0]
     wpl = span // 32
-    hi, lo = _lane_tiles(comp, nslots, span)
-    iota = jnp.arange(wpl + 1, dtype=jnp.int32)[None, :]
-    base = jnp.arange(nslots, dtype=jnp.int32) * wpl - 1
-
+    tile = _lane_tiles(comp, nslots, span)               # [L, wpl+2]
     end_bit = jnp.concatenate([sync_bit[1:], sync_bit[-1:]])
-    scan_len = enc.sync_scan_len(span)
+    lane_word0 = jnp.arange(nslots, dtype=jnp.int32) * wpl - 1
 
-    def step(state, _):
-        bitpos, outpos, mode, cur_off = state
-        active = bitpos < end_bit
-        q = jnp.clip((bitpos >> 5) - base, 0, wpl)
-        oh = (iota == q[:, None]).astype(jnp.float32)
-        # half-words combine exactly only in integer space (f32 mantissa
-        # is 24 bits; a full 32-bit word would round)
-        def fetch(plane):
-            return jnp.sum(oh * plane, axis=1).astype(jnp.uint32)
-        wa = (fetch(hi[:, :wpl + 1]) << 16) | fetch(lo[:, :wpl + 1])
-        wb = (fetch(hi[:, 1:]) << 16) | fetch(lo[:, 1:])
-        sh = (bitpos & 31).astype(jnp.uint32)
-        w = (wa << sh) | jnp.where(sh == 0, jnp.uint32(0),
-                                   wb >> (jnp.uint32(32) - sh))
+    def step(state, inp):
+        word, s = inp
+        hi, lo, bitpos, outpos, mode, cur_off = state
+        hi, lo = lo, word
+        ebits = (lane_word0 + s + 1) * 32    # bits fed so far (exclusive)
+        recs = []
+        for _ in range(_SUBSTEPS):
+            sh = jnp.clip(bitpos - (ebits - 64), 0, 63).astype(jnp.uint32)
+            hu = hi.astype(jnp.uint32)
+            lu = lo.astype(jnp.uint32)
+            w = jnp.where(
+                sh < 32,
+                (hu << sh) | jnp.where(sh == 0, jnp.uint32(0),
+                                       lu >> (jnp.uint32(32) - sh)),
+                lu << (sh - 32))
+            can = (bitpos < end_bit) & (bitpos + enc.MAX_STEP_BITS <= ebits)
+            rec, bitpos, outpos, mode, cur_off = _parse_substep(
+                w, bitpos, outpos, mode, cur_off, can)
+            recs.append(rec)
+        return (hi, lo, bitpos, outpos, mode, cur_off), jnp.stack(recs)
 
-        # --- NORMAL: one token head ---
-        flag = (w >> 31).astype(jnp.int32)
-        lit = ((w >> 23) & 0xFF).astype(jnp.int32)
-        offflag = ((w >> 30) & 1).astype(jnp.int32)
-        off7 = ((w >> 23) & 0x7F).astype(jnp.int32)
-        off11 = ((w >> 19) & 0x7FF).astype(jnp.int32)
-        l4 = jnp.where(offflag == 1,
-                       ((w >> 19) & 0xF).astype(jnp.int32),
-                       ((w >> 15) & 0xF).astype(jnp.int32))
-        long_len = (l4 >> 2) == 3
-        len_init = jnp.where(long_len, (l4 & 3) + 5, (l4 >> 2) + 2)
-        lw = jnp.where(long_len, 4, 2)
-        is_lit = flag == 0
-        n_off = jnp.where(offflag == 1, off7, off11)
-        n_kind = jnp.where(is_lit, 1, 2)
-        n_len = jnp.where(is_lit, 1, len_init)
-        n_consume = jnp.where(is_lit, 9,
-                              1 + jnp.where(offflag == 1, 8, 12) + lw)
-        n_mode = jnp.where((~is_lit) & long_len
-                           & ((l4 & 3) == 3), 1, 0)
+    zero = jnp.zeros(nslots, jnp.int32)
+    init = (zero, zero, sync_bit, sync_out & 0x1FFFF,
+            (sync_out >> 17) & 1, sync_out >> 18)
+    steps = jnp.arange(wpl + 2, dtype=jnp.int32)
+    _, recs = jax.lax.scan(step, init, (tile.T, steps))
+    return recs.reshape((wpl + 2) * _SUBSTEPS, nslots)
 
-        # --- EXTENDED: up to 6 nibbles (24 valid bits) in one step ---
-        nw = (~w | jnp.uint32(0xFF)).astype(jnp.uint32)
-        lzn = jax.lax.clz(nw)
-        nf = jnp.minimum((lzn >> 2).astype(jnp.int32), 6)
-        whole = nf >= 6
-        term = (w >> (jnp.uint32(28) - 4 * jnp.minimum(
-            nf, 5).astype(jnp.uint32))) & 0xF
-        e_len = jnp.where(whole, 6 * spec.MAX_EXTENDED_LENGTH,
-                          spec.MAX_EXTENDED_LENGTH * nf
-                          + term.astype(jnp.int32))
-        e_consume = jnp.where(whole, 24, 4 * (nf + 1))
-        e_mode = jnp.where(whole, 1, 0)
 
-        is_ext = mode == 1
-        kind = jnp.where(active, jnp.where(is_ext, 2, n_kind), 0)
-        payload = jnp.where(is_ext, cur_off,
-                            jnp.where(is_lit, lit, n_off))
-        length = jnp.where(is_ext, e_len, n_len)
-        consume = jnp.where(active,
-                            jnp.where(is_ext, e_consume, n_consume), 0)
-        new_mode = jnp.where(active,
-                             jnp.where(is_ext, e_mode, n_mode), mode)
-        new_off = jnp.where(active & (kind == 2) & ~is_ext, n_off, cur_off)
-        out = (kind, payload,
-               jnp.where(active, length, 0), outpos)
-        state = (bitpos + consume, outpos + jnp.where(active, length, 0),
-                 new_mode, new_off)
-        return state, out
+def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
+    """Per-byte covering-token records from lane-major parse records.
 
-    init = (sync_bit, sync_out & 0x1FFFF,
-            (sync_out >> 17) & 1,
-            sync_out >> 18)
-    _, (kind, payload, length, opos) = jax.lax.scan(
-        step, init, None, length=scan_len)
-    return kind, payload, length, opos
+    recs: int32[S, L] packed records (-1 empty). In lane-major order
+    records have strictly increasing opos, so per-byte ownership is a
+    sorted merge with the byte index line: record at opos goes before
+    byte opos; a cummax then carries each record to the bytes it covers.
+    Returns int32[out_cap] records (-1 where no token covers the byte).
+    """
+    flat = recs.T.reshape(-1)                            # lane-major
+    t_key = jnp.where(flat >= 0, (flat >> 12) << 1, _BIG)
+    j = jnp.arange(out_cap, dtype=jnp.int32)
+    b_key = (j << 1) | 1
+    keys = jnp.concatenate([t_key, b_key])
+    vals = jnp.concatenate([flat, jnp.full(out_cap, -1, jnp.int32)])
+    keys_s, vals_s = jax.lax.sort((keys, vals), dimension=0, num_keys=1)
+    acc = jax.lax.cummax(vals_s)
+    back_key = jnp.where((keys_s & 1) == 1, keys_s >> 1, _BIG)
+    _, per_byte = jax.lax.sort((back_key, acc), dimension=0, num_keys=1)
+    return per_byte[:out_cap]
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "span"))
@@ -174,16 +217,9 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
 
     Returns uint8[out_cap] (bytes past ``n`` are zero).
     """
-    kind, payload, length, opos = _parse(comp, sync_bit, sync_out, span)
-    kind, payload, length, opos = (a.reshape(-1)
-                                   for a in (kind, payload, length, opos))
+    recs = _parse(comp, sync_bit, sync_out, span)
+    acc = _ownership(recs, out_cap)
 
-    # --- per-byte ownership: one packed scatter-max + cummax ---
-    # key = opos(15+) << 12 | kind2(1) << 11 | payload(11)
-    key = (opos << 12) | jnp.where(kind == 2, (1 << 11) | payload, payload)
-    dest = jnp.where((kind > 0) & (length > 0), opos, out_cap)
-    acc = jnp.full(out_cap, -1, jnp.int32).at[dest].max(key, mode="drop")
-    acc = jax.lax.cummax(acc)
     seg_start = acc >> 12
     is_copy = (acc >> 11) & 1
     pay = acc & 0x7FF
@@ -199,6 +235,7 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
     nchunks = out_cap // _CHUNK
     resolved0 = is_lit | (acc < 0)
     st_all = jnp.where(resolved0, 0x100 | litval, 0)
+    rounds = max(_CHUNK.bit_length() - 1, 1)
 
     def chunk_step(win, inp):
         st, src_c, res_c, base = inp
@@ -207,17 +244,17 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
         from_win = (~res_c) & (src_c < base)
         wvals = mxu_gather(win[None, :], widx[None, :])[0]
         st = jnp.where(from_win, 0x100 | wvals, st)
-        # in-chunk chains: pointer doubling over (val, resolved, ptr) planes
+        # in-chunk chains: pointer doubling over (val, res, ptr) planes
         p = jnp.clip(src_c - base, 0, _CHUNK - 1)
         val = st & 0xFF
         res = st >> 8
-        for _ in range(8):
-            planes = jnp.stack([val, res, p], axis=-1)
+        for _ in range(rounds):
+            planes = jnp.stack([val, res, p & 0xFF, p >> 8], axis=-1)
             g = mxu_gather(planes[None], p[None])[0]
             hit = (res == 0) & (g[:, 1] == 1)
             val = jnp.where(hit, g[:, 0], val)
             res = jnp.where(hit, 1, res)
-            p = jnp.where(res == 0, g[:, 2], p)     # ancestor's ancestor
+            p = jnp.where(res == 0, g[:, 2] | (g[:, 3] << 8), p)
         win = jnp.concatenate([win[_CHUNK:], val])
         return win, val
 

@@ -2,10 +2,18 @@
 
 The greedy LZS tokenization is a chain: each token's start depends on the
 previous token's length (the reference walks it as a state machine,
-lzs-compression.c:301-448). Token starts are resolved here with a short
-``lax.scan`` carrying a single "next token start" scalar per block — the
-per-step body is a handful of vector selects (no gathers), and the scan is
-unrolled ``_UNROLL`` positions per step so a 32 KiB block takes ~2K steps.
+lzs-compression.c:301-448). Token starts are resolved in three
+logarithmic stages instead of a position-by-position walk:
+
+  1. In-tile pointer doubling: within tiles of ``_TILE`` positions, jump
+     tables A_t[i] = position after 2^t token hops from i (frozen at the
+     first position past the tile). log2(_TILE) MXU-gather rounds.
+  2. A tile-granular ``lax.scan`` threads the single sequential
+     dependency: the entry position of tile t+1 is the exit of the chain
+     from tile t's entry (one tiny gather per step).
+  3. Descent marking: every position i binary-searches down the jump
+     tables from its tile's entry; i is a token start iff the chain's
+     last position <= i is i itself.
 
 Emission units: every token start carries its head unit (flag + literal, or
 flag + offset + initial length code, <= 18 bits). Extension nibbles of a long
@@ -32,8 +40,16 @@ _LEN_VALUE = jnp.array([0, 0, 0b00, 0b01, 0b10, 0b1100, 0b1101, 0b1110,
                         0b1111], jnp.int32)
 _LEN_WIDTH = jnp.array([0, 0, 2, 2, 2, 4, 4, 4, 4], jnp.int32)
 
-_UNROLL = 64
+_TILE = 256
 _BIG = jnp.int32(0x3FFFFFFF)
+
+
+def _tile_gather(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise gather of 16-bit values: tables/idx int32[R, T]."""
+    from .vgather import mxu_gather
+    lo = mxu_gather(tables & 0xFF, idx)
+    hi = mxu_gather(tables >> 8, idx)
+    return lo | (hi << 8)
 
 
 def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
@@ -43,24 +59,42 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     (>= 1 wherever i < n).
     """
     npos = step.shape[0]
-    pad = (-npos) % _UNROLL
-    s = jnp.concatenate([step, jnp.ones(pad, step.dtype)]) if pad else step
-    nsteps = s.shape[0] // _UNROLL
-    xs = s.reshape(nsteps, _UNROLL)
-    bases = jnp.arange(nsteps, dtype=jnp.int32) * _UNROLL
+    pad = (-npos) % _TILE
+    if pad:
+        step = jnp.concatenate([step, jnp.ones(pad, step.dtype)])
+    m = step.shape[0]
+    ntiles = m // _TILE
+    rounds = _TILE.bit_length() - 1
+    i = jnp.arange(m, dtype=jnp.int32)
+    base = (jnp.arange(ntiles, dtype=jnp.int32) * _TILE)[:, None]
 
-    def body(t, inp):
-        sv, base = inp
-        hits = []
-        for u in range(_UNROLL):
-            i = base + u
-            hit = t == i
-            t = jnp.where(hit, i + sv[u], t)
-            hits.append(hit)
-        return t, jnp.stack(hits)
+    # 1. in-tile jump tables by pointer doubling (frozen once past tile)
+    a = (i + jnp.maximum(step, 1)).reshape(ntiles, _TILE)
+    tables = [a]
+    for _ in range(rounds):
+        g = _tile_gather(a, jnp.clip(a - base, 0, _TILE - 1))
+        a = jnp.where(a < base + _TILE, g, a)
+        tables.append(a)
+    exits = a                     # first chain position >= tile end
 
-    _, hits = jax.lax.scan(body, jnp.int32(0), (xs, bases))
-    starts = hits.reshape(-1)[:npos]
+    # 2. entry of each tile: thread the chain exit tile by tile
+    def entry_step(c, inp):
+        ex, b0 = inp
+        inside = (c >= b0) & (c < b0 + _TILE)
+        nxt = ex[jnp.clip(c - b0, 0, _TILE - 1)]
+        return jnp.where(inside, nxt, c), c
+
+    _, entries = jax.lax.scan(entry_step, jnp.int32(0),
+                              (exits, base[:, 0]))
+
+    # 3. descent: last chain position <= i, from the tile entry down
+    pos = jnp.broadcast_to(entries[:, None], (ntiles, _TILE))
+    it = i.reshape(ntiles, _TILE)
+    for t in range(rounds - 1, -1, -1):
+        nxt = _tile_gather(tables[t], jnp.clip(pos - base, 0, _TILE - 1))
+        ok = (pos >= base) & (pos < base + _TILE) & (nxt <= it)
+        pos = jnp.where(ok, nxt, pos)
+    starts = (pos == it).reshape(-1)[:npos]
     return starts & (jnp.arange(npos, dtype=jnp.int32) < n)
 
 

@@ -29,7 +29,7 @@ from lzs_tpu import spec
 
 SIZE = 1 << 21
 BLOCK = 1 << 15
-REPS = 8
+REPS = 3
 
 
 def measure_rtt():
