@@ -47,7 +47,7 @@ from .. import spec
 from . import encode as enc
 from .vgather import mxu_gather
 
-_CHUNK = 1024         # expansion chunk (bytes per scan step)
+_CHUNK = 256          # expansion chunk (bytes per scan step)
 _WIN = 2048           # carried window capacity (>= WINDOW_SIZE)
 _SUBSTEPS = 4         # tokens parseable per fed 32-bit word (see docstring)
 _BIG = jnp.int32(0x3FFFFFFF)
@@ -124,7 +124,7 @@ def _parse_substep(w, bitpos, outpos, mode, cur_off, can):
     length = jnp.where(is_ext, e_len, n_len)
     consume = jnp.where(is_ext, e_consume, n_consume)
     rec = jnp.where(can & (length > 0),
-                    (outpos << 12) | (is_copy.astype(jnp.int32) << 11)
+                    (outpos << 13) | (is_copy.astype(jnp.int32) << 11)
                     | payload, -1)
     bitpos = bitpos + jnp.where(can, consume, 0)
     outpos = outpos + jnp.where(can, length, 0)
@@ -191,14 +191,13 @@ def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
     Returns int32[out_cap] records (-1 where no token covers the byte).
     """
     flat = recs.T.reshape(-1)                            # lane-major
-    t_key = jnp.where(flat >= 0, (flat >> 12) << 1, _BIG)
     j = jnp.arange(out_cap, dtype=jnp.int32)
-    b_key = (j << 1) | 1
-    keys = jnp.concatenate([t_key, b_key])
-    vals = jnp.concatenate([flat, jnp.full(out_cap, -1, jnp.int32)])
-    keys_s, vals_s = jax.lax.sort((keys, vals), dimension=0, num_keys=1)
-    acc = jax.lax.cummax(vals_s)
-    back_key = jnp.where((keys_s & 1) == 1, keys_s >> 1, _BIG)
+    b_entry = (j << 13) | (1 << 12)
+    merged = jnp.concatenate([jnp.where(flat >= 0, flat, _BIG), b_entry])
+    v = jax.lax.sort(merged)
+    is_tok = (v < _BIG) & ((v >> 12) & 1 == 0)
+    acc = jax.lax.cummax(jnp.where(is_tok, v, -1))
+    back_key = jnp.where((v >> 12) & 1 == 1, v >> 13, _BIG)
     _, per_byte = jax.lax.sort((back_key, acc), dimension=0, num_keys=1)
     return per_byte[:out_cap]
 
@@ -220,7 +219,7 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
     recs = _parse(comp, sync_bit, sync_out, span)
     acc = _ownership(recs, out_cap)
 
-    seg_start = acc >> 12
+    seg_start = acc >> 13
     is_copy = (acc >> 11) & 1
     pay = acc & 0x7FF
 
@@ -235,7 +234,9 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
     nchunks = out_cap // _CHUNK
     resolved0 = is_lit | (acc < 0)
     st_all = jnp.where(resolved0, 0x100 | litval, 0)
-    rounds = max(_CHUNK.bit_length() - 1, 1)
+    # chain depth is bounded by the copy-token count in a chunk
+    # (every hop lands in an earlier token, copies are >= 2 bytes)
+    rounds = max(_CHUNK.bit_length() - 2, 1)
 
     def chunk_step(win, inp):
         st, src_c, res_c, base = inp
@@ -249,12 +250,14 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
         val = st & 0xFF
         res = st >> 8
         for _ in range(rounds):
-            planes = jnp.stack([val, res, p & 0xFF, p >> 8], axis=-1)
+            planes = jnp.stack([val, (res << 3) | (p >> 8), p & 0xFF],
+                               axis=-1)
             g = mxu_gather(planes[None], p[None])[0]
-            hit = (res == 0) & (g[:, 1] == 1)
+            ghit = (g[:, 1] >> 3) == 1
+            hit = (res == 0) & ghit
             val = jnp.where(hit, g[:, 0], val)
             res = jnp.where(hit, 1, res)
-            p = jnp.where(res == 0, g[:, 2] | (g[:, 3] << 8), p)
+            p = jnp.where(res == 0, ((g[:, 1] & 7) << 8) | g[:, 2], p)
         win = jnp.concatenate([win[_CHUNK:], val])
         return win, val
 

@@ -40,16 +40,29 @@ _LEN_VALUE = jnp.array([0, 0, 0b00, 0b01, 0b10, 0b1100, 0b1101, 0b1110,
                         0b1111], jnp.int32)
 _LEN_WIDTH = jnp.array([0, 0, 2, 2, 2, 4, 4, 4, 4], jnp.int32)
 
-_TILE = 256
+_TILE = 128
 _BIG = jnp.int32(0x3FFFFFFF)
 
 
 def _tile_gather(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row-wise gather of 16-bit values: tables/idx int32[R, T]."""
-    from .vgather import mxu_gather
-    lo = mxu_gather(tables & 0xFF, idx)
-    hi = mxu_gather(tables >> 8, idx)
-    return lo | (hi << 8)
+    """Row-wise gather of 16-bit values: tables/idx int32[R, T].
+
+    For tiles this small a direct one-hot int8 contraction on the MXU is
+    cheaper than both XLA's serialized gather and the digit-split scheme
+    in ops.vgather (whose 16-way in-row select expands intermediates 16x).
+    """
+    t = tables.shape[-1]
+    oh = (idx[..., None]
+          == jnp.arange(t, dtype=jnp.int32)).astype(jnp.int8)
+    planes = jnp.stack([tables & 0xFF, tables >> 8], axis=-1).astype(
+        jnp.int8)
+    nb = oh.ndim - 2
+    out = jax.lax.dot_general(
+        oh, planes,
+        ((( oh.ndim - 1,), (planes.ndim - 2,)),
+         (tuple(range(nb)), tuple(range(nb)))),
+        preferred_element_type=jnp.int32)
+    return (out[..., 0] & 0xFF) | ((out[..., 1] & 0xFF) << 8)
 
 
 def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
@@ -77,11 +90,15 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         tables.append(a)
     exits = a                     # first chain position >= tile end
 
-    # 2. entry of each tile: thread the chain exit tile by tile
+    # 2. entry of each tile: thread the chain exit tile by tile. The
+    # per-step fetch is a one-hot multiply-reduce (in-scan XLA gathers
+    # serialize; a 256-wide masked sum is pure VPU work).
+    lane = jnp.arange(_TILE, dtype=jnp.int32)
+
     def entry_step(c, inp):
         ex, b0 = inp
         inside = (c >= b0) & (c < b0 + _TILE)
-        nxt = ex[jnp.clip(c - b0, 0, _TILE - 1)]
+        nxt = jnp.sum(jnp.where(lane == c - b0, ex, 0))
         return jnp.where(inside, nxt, c), c
 
     _, entries = jax.lax.scan(entry_step, jnp.int32(0),
