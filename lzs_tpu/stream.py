@@ -38,9 +38,11 @@ from . import spec
 # Status flags (values shared with native runtime and the reference's
 # LzsCompressStatus_t / LzsDecompressStatus_t vocabulary, lzs.h:90-99,170-178)
 INPUT_STARVED = 1
-OUTPUT_FULL = 2
+OUTPUT_FULL = 2       # the reference's ..._NO_OUTPUT_BUFFER_SPACE
 FINISHED = 4
 END_MARKER = 8
+ERROR = 16            # malformed carried state (LZS_C/D_STATUS_ERROR,
+                      # lzs.h:98,177 — invariant break, not bad input data)
 
 _HOLD = spec.SEARCH_MATCH_MAX          # bytes held back until more input
 
@@ -99,29 +101,51 @@ class _BitSink:
 class StreamCompressor:
     """Incremental LZS compressor (carried-window streaming encode).
 
-    feed(data) buffers input and returns any newly final compressed bytes;
-    finish() flushes the holdback, appends the end marker, and pads.
-    Output over a whole session is byte-identical to ``reference.
-    lzs_compress`` of the concatenated input.
+    feed(data, max_out=...) buffers input and returns newly final
+    compressed bytes, at most ``max_out`` of them per call (the
+    reference's NO_OUTPUT_BUFFER_SPACE protocol: status gains OUTPUT_FULL
+    and the remainder drains on subsequent calls — the drive loop of
+    utils/lzs-compress.c:91-134 works unchanged). finish() flushes the
+    holdback, appends the end marker, and pads; with a bounded output
+    buffer, keep calling ``feed(finish=True, max_out=...)`` until the
+    status carries FINISHED (the reference defers its end marker the same
+    way, lzs-compression.c:796-820). Output over a whole session is
+    byte-identical to ``reference.lzs_compress`` of the concatenated
+    input.
     """
 
     window: bytes = b""
     pending: bytes = b""
+    out_pending: bytes = b""
+    ended: bool = False           # end marker already emitted
     bit_acc: int = 0
     bit_n: int = 0
     status: int = INPUT_STARVED
     total_in: int = 0
     total_out: int = 0
 
-    def feed(self, data: bytes = b"", finish: bool = False) -> bytes:
+    def _check_state(self) -> bool:
+        ok = (0 <= self.bit_n < 8
+              and 0 <= self.bit_acc < (1 << max(self.bit_n, 0))
+              and len(self.window) <= spec.WINDOW_SIZE)
+        if not ok:
+            self.status = ERROR
+        return ok
+
+    def feed(self, data: bytes = b"", finish: bool = False,
+             max_out: Optional[int] = None) -> bytes:
         if self.status & FINISHED:
             raise ValueError("stream already finished")
+        if self.ended and data:
+            raise ValueError("data fed after finish")
+        if not self._check_state():
+            return b""
         self.total_in += len(data)
         buf = self.pending + data
         usable = len(buf) if finish else len(buf) - _HOLD
         out = bytearray()
         sink = _BitSink(self.bit_acc, self.bit_n)
-        if usable > 0 or finish:
+        if (usable > 0 or finish) and not self.ended:
             ctx = len(self.window)
             arr = np.frombuffer(self.window + buf, np.uint8).astype(np.int32)
             n = len(arr)
@@ -147,19 +171,29 @@ class StreamCompressor:
             self.pending = buf[consumed:]
         else:
             self.pending = buf
-        if finish:
+        if finish and not self.ended:
             assert not self.pending
             sink.put(spec.END_MARKER_VALUE, spec.END_MARKER_BITS, out)
             sink.pad_to_byte(out)
+            self.ended = True
+        self.bit_acc, self.bit_n = sink.acc, sink.nbits
+
+        ready = self.out_pending + bytes(out)
+        if max_out is not None and len(ready) > max_out:
+            ready, self.out_pending = ready[:max_out], ready[max_out:]
+        else:
+            self.out_pending = b""
+        if self.ended and not self.out_pending:
             self.status = FINISHED | END_MARKER
         else:
-            self.status = INPUT_STARVED if len(self.pending) <= _HOLD else 0
-        self.bit_acc, self.bit_n = sink.acc, sink.nbits
-        self.total_out += len(out)
-        return bytes(out)
+            self.status = (OUTPUT_FULL if self.out_pending
+                           else (INPUT_STARVED
+                                 if len(self.pending) <= _HOLD else 0))
+        self.total_out += len(ready)
+        return ready
 
-    def finish(self) -> bytes:
-        return self.feed(b"", finish=True)
+    def finish(self, max_out: Optional[int] = None) -> bytes:
+        return self.feed(b"", finish=True, max_out=max_out)
 
     def _emit_match(self, off: int, length: int, sink: _BitSink,
                     out: bytearray) -> None:
@@ -203,6 +237,7 @@ class StreamDecompressor:
 
     stop_at_end: bool = False
     window: bytes = b""
+    in_pending: bytes = b""       # input bytes not yet drawn into the queue
     bit_acc: int = 0
     bit_n: int = 0
     mode: int = 0                 # 0 normal, 1 extended
@@ -212,10 +247,24 @@ class StreamDecompressor:
     status: int = INPUT_STARVED
     total_out: int = 0
 
+    def _check_state(self) -> bool:
+        ok = (self.mode in (0, 1)
+              and 0 <= self.cur_off <= spec.WINDOW_SIZE
+              and self.copy_rem >= 0
+              and 0 <= self.bit_n <= 32
+              and 0 <= self.bit_acc < (1 << max(self.bit_n, 0))
+              and len(self.window) <= spec.WINDOW_SIZE)
+        if not ok:
+            self.status = ERROR
+        return ok
+
     def feed(self, data: bytes = b"",
              max_out: Optional[int] = None) -> bytes:
         if self.status & FINISHED:
             return b""
+        if not self._check_state():
+            return b""
+        data = self.in_pending + data
         acc, nb = self.bit_acc, self.bit_n
         pos = 0
         win = bytearray(self.window)
@@ -318,11 +367,9 @@ class StreamDecompressor:
         self.bit_acc, self.bit_n = acc, nb
         self.window = bytes(win[-spec.WINDOW_SIZE:])
         self.total_out += len(out)
-        if pos < len(data):
-            # keep unread input bytes queued in the bit accumulator
-            for b in data[pos:]:
-                self.bit_acc = (self.bit_acc << 8) | b
-                self.bit_n += 8
+        # unread input stays a byte buffer (a bignum bit queue would make
+        # bounded-output draining quadratic)
+        self.in_pending = data[pos:]
         return bytes(out)
 
     # -- checkpoint / resume --

@@ -114,6 +114,58 @@ def test_checkpoint_resume_decompressor():
     assert bytes(out) + rest == DATA
 
 
+@pytest.mark.parametrize("cap", [1, 64, 512])
+def test_stream_compress_output_bounded_drive_loop(cap):
+    """Mirror the reference CLI drive loop (utils/lzs-compress.c:91-134):
+    fixed-size output buffer, finish raised after input exhausted, loop
+    until the FINISHED status."""
+    c = stream.StreamCompressor()
+    out = bytearray()
+    feeds = [DATA[i:i + 512] for i in range(0, len(DATA), 512)]
+    for piece in feeds:
+        out += c.feed(piece, max_out=cap)
+        while c.status & stream.OUTPUT_FULL:
+            out += c.feed(b"", max_out=cap)
+    while not (c.status & stream.FINISHED):
+        out += c.feed(b"", finish=True, max_out=cap)
+    assert bytes(out) == ONE_SHOT
+    assert c.status & stream.END_MARKER
+
+
+def test_stream_compress_error_status():
+    c = stream.StreamCompressor(bit_n=99, bit_acc=1 << 62)
+    assert c.feed(b"abc") == b""
+    assert c.status & stream.ERROR
+
+
+def test_stream_decompress_error_status():
+    d = stream.StreamDecompressor(mode=7)
+    assert d.feed(ONE_SHOT) == b""
+    assert d.status & stream.ERROR
+    d2 = stream.StreamDecompressor(cur_off=9999)
+    d2.feed(ONE_SHOT)
+    assert d2.status & stream.ERROR
+
+
+def test_stream_decompress_large_feed_tiny_budget_linear():
+    """Unread input must be kept as bytes, not a bignum bit queue
+    (round-1 weakness: quadratic requeue)."""
+    big = mixed_data(9, 1 << 20)
+    comp = reference.lzs_compress(big)
+    d = stream.StreamDecompressor()
+    first = d.feed(comp, max_out=1)        # queues ~all input internally
+    assert len(first) == 1
+    assert isinstance(d.in_pending, bytes)
+    assert d.bit_n <= 32
+    out = bytearray(first)
+    while True:
+        piece = d.feed(b"", max_out=1 << 16)
+        if not piece:
+            break
+        out += piece
+    assert bytes(out) == big
+
+
 def test_zero_fill_out_of_range_offset():
     # match referencing before stream start must emit zeros
     from lzs_tpu.reference import BitWriter
