@@ -81,5 +81,18 @@ def main(argv=None) -> int:
     return args.fn(args)
 
 
+def main_compress(argv=None) -> int:
+    """``lzs-compress INFILE OUTFILE`` — the reference's two-argument CLI
+    contract (c/src/utils/lzs-compress.c:60-76)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    return main(["compress"] + argv)
+
+
+def main_decompress(argv=None) -> int:
+    """``lzs-decompress INFILE OUTFILE`` (c/src/utils/lzs-decompress.c)."""
+    argv = list(sys.argv[1:] if argv is None else argv)
+    return main(["decompress"] + argv)
+
+
 if __name__ == "__main__":
     raise SystemExit(main())

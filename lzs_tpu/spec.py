@@ -71,6 +71,17 @@ def compressed_max(n: int) -> int:
     return (n + (n + 7) // 8) + 3
 
 
+# Decompression expansion bound used for buffer sizing (lzs.h:79-81): a
+# 2-byte match token can emit up to... the reference uses a pragmatic 16x.
+DECOMPRESSION_EXPANSION = 16
+
+
+def decompressed_max(n: int) -> int:
+    """Buffer-sizing bound on decompressed size of n compressed bytes
+    (LZS_DECOMPRESSED_MAX, lzs.h:79-81)."""
+    return DECOMPRESSION_EXPANSION * n
+
+
 def literal_bits() -> int:
     return 9
 

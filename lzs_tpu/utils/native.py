@@ -116,7 +116,8 @@ def decompress(data: bytes, out_cap: Optional[int] = None,
     """One-shot native decompress."""
     lib = load()
     x = np.frombuffer(data, np.uint8)
-    cap = out_cap if out_cap is not None else max(16 * len(data), 1 << 16)
+    cap = (out_cap if out_cap is not None
+           else max(spec.decompressed_max(len(data)), 1 << 16))
     out = np.zeros(cap, np.uint8)
     consumed = ctypes.c_size_t(0)
     m = lib.lzs_nat_decompress(_u8(x), len(data), _u8(out), cap,

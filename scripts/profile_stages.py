@@ -1,139 +1,148 @@
-"""Stage-by-stage timing of the encode/decode pipelines on the real chip.
+"""Stage-level TPU timing for the encode/decode pipelines.
 
-Not a test — a development tool for the performance work. Each stage is
-jitted in isolation and timed with block_until_ready; outputs of earlier
-stages are fed in so stage timings are additive.
+Times each pipeline stage separately with the chained-reps methodology
+from bench.py (sequential data-dependent reps inside one jit; fetch RTT
+subtracted) so the optimization target is evidence, not guesswork.
+
+Usage: python scripts/profile_stages.py [--size BYTES] [--block N]
 """
-
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, ".")
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/lzs_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=1 << 23)
+    ap.add_argument("--block", type=int, default=1 << 15)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--stages", type=str, default="")
+    args = ap.parse_args()
 
-from bench import make_corpus
-from lzs_tpu.blocks import pad_blocks
-from lzs_tpu.ops import bitpack, sortmatch, tokenize
-from lzs_tpu.ops import encode as enc_ops
-from lzs_tpu.ops import decode2 as dec2_ops
-from lzs_tpu import spec
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/lzs_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
 
-SIZE = 1 << 21
-BLOCK = 1 << 15
+    sys.path.insert(0, ".")
+    from bench import make_corpus, measure_rtt
+    from lzs_tpu.blocks import BlockCodec, pad_blocks
+    from lzs_tpu.ops import bitpack, encode as enc_ops, decode2 as dec2
+    from lzs_tpu.ops import sortmatch, tokenize
 
-data = make_corpus(SIZE)
-x_np, lens_np = pad_blocks(data, BLOCK)
-x = jnp.asarray(x_np.astype(np.int32))
-n = jnp.asarray(lens_np)
-print(f"blocks: {x.shape}", file=sys.stderr)
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    data = make_corpus(args.size)
+    codec = BlockCodec(block=args.block)
+    x_np, lens_np = pad_blocks(data, args.block)
+    x = jax.device_put(jnp.asarray(x_np.astype(np.int32)))
+    lens = jax.device_put(jnp.asarray(lens_np))
+    rtt = measure_rtt(jax, np)
+    print(f"RTT {rtt*1e3:.1f} ms, blocks {x.shape}", file=sys.stderr)
+    reps = args.reps
+    nbytes = len(data)
 
-
-def timed(name, fn, *args):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(3):
+    def timed(name, fn, *fnargs):
+        @jax.jit
+        def run(a0, *rest):
+            acc = jnp.int32(0)
+            for _ in range(reps):
+                out = fn(jnp.bitwise_xor(a0, (acc & 1).astype(a0.dtype)),
+                         *rest)
+                leaf = jax.tree_util.tree_leaves(out)[0]
+                acc = acc + leaf.reshape(-1)[0].astype(jnp.int32)
+            return acc
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    t = min(ts)
-    gbps = SIZE / t / 1e9
-    print(f"{name:28s} {t*1e3:9.2f} ms   {gbps:8.3f} GB/s")
-    return out
+        _ = np.asarray(run(*fnargs))
+        comp = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(run(*fnargs))
+            best = min(best, time.perf_counter() - t0)
+        s = max((best - rtt) / reps, 1e-9)
+        print(f"{name:28s} {s*1e3:9.2f} ms   {nbytes/s/1e9:8.4f} GB/s   "
+              f"(compile {comp:.1f}s)", file=sys.stderr)
+        return s
+
+    want = set(args.stages.split(",")) if args.stages else None
+
+    def on(name):
+        return want is None or name in want
+
+    # --- encode stages ---
+    vb = jax.vmap(lambda a, b: sortmatch.candidates(a, b))
+    if on("cand"):
+        timed("enc: candidates(sorts)", lambda a, b: vb(a, b), x, lens)
+    score, off = jax.jit(vb)(x, lens)
+
+    vse = jax.vmap(lambda a, b, s, o: sortmatch.small_extension(
+        a, b, s, o, 12))
+    if on("smallext"):
+        timed("enc: small_extension", lambda a, b, s, o: vse(a, b, s, o),
+              x, lens, score, off)
+
+    vbm = jax.vmap(lambda a, b: sortmatch.best_matches(a, b))
+    if on("match"):
+        timed("enc: best_matches(all)", lambda a, b: vbm(a, b), x, lens)
+    score2, off2, full2 = jax.jit(vbm)(x, lens)
+
+    i = jnp.arange(args.block, dtype=jnp.int32)
+
+    def steps_of(s, f, n):
+        is_m = (s >= 2) & (i < n)
+        return jnp.where(i < n, jnp.where(is_m, f, 1), 1)
+
+    steps = jax.jit(jax.vmap(steps_of))(score2, full2, lens)
+    if on("starts"):
+        timed("enc: token_starts",
+              lambda st, n: jax.vmap(tokenize.token_starts)(st, n),
+              steps, lens)
+
+    vem = jax.vmap(lambda a, b, s, o, f: tokenize.emission_units(
+        a, b, s, o, f))
+    if on("emit"):
+        timed("enc: emission_units",
+              lambda a, b, s, o, f: vem(a, b, s, o, f),
+              x, lens, score2, off2, full2)
+    value, width, starts, length = jax.jit(vem)(x, lens, score2, off2, full2)
+
+    cap_b = enc_ops.cap_bytes(args.block)
+    vpk = jax.vmap(lambda v, w: bitpack.pack_bits(v, w, cap_b))
+    if on("pack"):
+        timed("enc: pack_bits", lambda v, w: vpk(v, w), value, width)
+
+    venc = jax.vmap(lambda a, b: enc_ops.encode_block(a, b))
+    if on("encode"):
+        timed("enc: encode_block(all)", lambda a, b: venc(a, b), x, lens)
+    vencs = jax.vmap(lambda a, b: enc_ops.encode_block_sync(a, b))
+    if on("encode_sync"):
+        timed("enc: encode_block_sync", lambda a, b: vencs(a, b), x, lens)
+
+    # --- decode stages ---
+    comp, clen, sbit, sout, nsync = jax.jit(vencs)(x, lens)
+    compi = comp.astype(jnp.int32)
+
+    vparse = jax.vmap(lambda c, b, o: dec2._parse(
+        c, b, o, enc_ops.SYNC_SPAN))
+    if on("parse"):
+        timed("dec: parse", lambda c, b, o: vparse(c, b, o),
+              compi, sbit, sout)
+    recs = jax.jit(vparse)(compi, sbit, sout)
+
+    vown = jax.vmap(lambda r: dec2._ownership(r, args.block))
+    if on("own"):
+        timed("dec: ownership", lambda r: vown(r), recs)
+
+    vdec = jax.vmap(lambda c, b, o, n: dec2.decode_block_sync(
+        c, b, o, n, out_cap=args.block))
+    if on("decode"):
+        timed("dec: decode_sync(all)", lambda c, b, o, n: vdec(c, b, o, n),
+              compi, sbit, sout, lens)
 
 
-# ---- encode stages ----
-@jax.jit
-def s_candidates(x, n):
-    return jax.vmap(lambda a, b: sortmatch.candidates(a, b))(x, n)
-
-score, off = timed("match: candidates (sorts)", s_candidates, x, n)
-
-
-@jax.jit
-def s_smallext(x, n, score, off):
-    return jax.vmap(lambda a, b, c, d: sortmatch.small_extension(
-        a, b, c, d, spec.SEARCH_MATCH_MAX))(x, n, score, off)
-
-full_s, capped = timed("match: small_extension", s_smallext, x, n, score, off)
-
-
-@jax.jit
-def s_full(x, n):
-    return jax.vmap(lambda a, b: sortmatch.best_matches(a, b))(x, n)
-
-score, off, full = timed("match: best_matches total", s_full, x, n)
-
-
-@jax.jit
-def s_tok(x, n, score, off, full):
-    return jax.vmap(tokenize.emission_units)(x, n, score, off, full)
-
-value, width, starts, length = timed("tokenize: emission_units",
-                                     s_tok, x, n, score, off, full)
-
-
-@jax.jit
-def s_starts(score, full, n):
-    npos = score.shape[1]
-    i = jnp.arange(npos, dtype=jnp.int32)[None]
-    is_match = (score >= spec.MIN_MATCH) & (i < n[:, None])
-    step = jnp.where(i < n[:, None], jnp.where(is_match, full, 1), 1)
-    return jax.vmap(tokenize.token_starts)(step, n)
-
-timed("tokenize: token_starts only", s_starts, score, full, n)
-
-CAP = enc_ops.cap_bytes(BLOCK)
-
-
-@jax.jit
-def s_pack(value, width):
-    em_v = jnp.concatenate(
-        [value, jnp.full((value.shape[0], 1), spec.END_MARKER_VALUE,
-                         jnp.int32)], axis=1)
-    em_w = jnp.concatenate(
-        [width, jnp.full((width.shape[0], 1), spec.END_MARKER_BITS,
-                         jnp.int32)], axis=1)
-    return jax.vmap(lambda v, w: bitpack.pack_bits(v, w, CAP))(em_v, em_w)
-
-comp, total_bits, offs = timed("bitpack: pack_bits", s_pack, value, width)
-
-
-@jax.jit
-def s_encode_sync(x, n):
-    return jax.vmap(lambda a, b: enc_ops.encode_block_sync(a, b))(x, n)
-
-comp, nbytes, sbit, sout, nsync = timed("encode_block_sync total",
-                                        s_encode_sync, x, n)
-
-# ---- decode stages ----
-SPAN = enc_ops.SYNC_SPAN
-
-
-@jax.jit
-def s_parse(comp, sbit, sout):
-    return jax.vmap(lambda c, b, o: dec2_ops._parse(c, b, o, SPAN))(
-        comp, sbit, sout)
-
-timed("decode: parse", s_parse, comp, sbit, sout)
-
-
-@jax.jit
-def s_dec(comp, sbit, sout, n):
-    return jax.vmap(lambda c, b, o, m: dec2_ops.decode_block_sync(
-        c, b, o, m, out_cap=BLOCK, span=SPAN))(comp, sbit, sout, n)
-
-out = timed("decode total", s_dec, comp, sbit, sout, n)
-
-ok = np.array_equal(np.asarray(out, np.uint8),
-                    x_np)
-print("round-trip:", "OK" if ok else "FAIL")
+if __name__ == "__main__":
+    main()
