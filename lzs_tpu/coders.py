@@ -191,9 +191,38 @@ StandardLengthCoder = PrefixLengthCoder(_codes({
     2: (0b00, 2), 3: (0b01, 2), 4: (0b10, 2),
     5: (0b1100, 4), 6: (0b1101, 4), 7: (0b1110, 4), 8: (0b1111, 4)}))
 
-#: Preset variants spanning the reference python framework's design space
+#: Wire-exact reproductions of the reference python framework's eight
+#: length coders (python/lzs.py:289-641), cross-validated in
+#: tests/test_oracle_lzs.py against the reference module run in place.
+#: All continuation fields are 4-bit nibbles (MAX_CONTINUED_LEN = 15).
+REFERENCE_LENGTH_CODERS: Dict[str, PrefixLengthCoder] = {
+    "lc1": StandardLengthCoder,                 # LengthCoder1 (standard LZS)
+    "lc2": PrefixLengthCoder(_codes({           # lzs.py:343-391
+        2: (0b0, 1), 3: (0b10, 2), 4: (0b1100, 4), 5: (0b1101, 4),
+        6: (0b1110, 4), 7: (0b1111, 4)})),
+    "lc3": PrefixLengthCoder(_codes({           # lzs.py:393-437
+        2: (0b0, 1), 3: (0b10, 2), 4: (0b110, 3), 5: (0b1110, 4),
+        6: (0b1111, 4)})),
+    "lc4": PrefixLengthCoder(_codes({           # lzs.py:439-489
+        2: (0b00, 2), 3: (0b01, 2), 4: (0b100, 3), 5: (0b101, 3),
+        6: (0b1100, 4), 7: (0b1101, 4), 8: (0b1110, 4), 9: (0b1111, 4)})),
+    "lc5": PrefixLengthCoder(_codes({           # lzs.py:491-537
+        2: (0b00, 2), 3: (0b01, 2), 4: (0b10, 2), 5: (0b110, 3),
+        6: (0b1110, 4), 7: (0b1111, 4)})),
+    "lc6": PrefixLengthCoder(_codes({           # lzs.py:539-595
+        2: (0b000, 3), 3: (0b001, 3), 4: (0b010, 3), 5: (0b011, 3),
+        6: (0b100, 3), 7: (0b101, 3), 8: (0b110, 3), 9: (0b1110, 4),
+        10: (0b1111, 4)})),
+    "lc7": PrefixLengthCoder(_codes({           # lzs.py:597-619 (flat 4-bit)
+        ln: (ln - 2, 4) for ln in range(2, 17)})),
+    "lc8": PrefixLengthCoder(_codes({           # lzs.py:621-641 (no ext)
+        ln: (ln - 3, 4) for ln in range(3, 17)}), ext_bits=0),
+}
+
+#: Preset variants: the reference tables plus framework-original profiles
 LENGTH_CODER_PRESETS: Dict[str, PrefixLengthCoder] = {
     "standard": StandardLengthCoder,
+    **REFERENCE_LENGTH_CODERS,
     # deeper initial range, 2-bit continuation
     "deep": PrefixLengthCoder(_codes({
         2: (0b0, 1), 3: (0b10, 2), 4: (0b110, 3), 5: (0b1110, 4),

@@ -21,6 +21,11 @@ PROFILES = {
     # deep-initial-length prefix code with 2-bit continuation
     "deep": GeneralCodec(StandardOffsetCoder(7, 11),
                          LENGTH_CODER_PRESETS["deep"]),
+    # the reference python framework's experimental length coders
+    # (python/lzs.py:343-641), wire-exact — see tests/test_oracle_lzs.py
+    **{f"ref-{k}": GeneralCodec(StandardOffsetCoder(7, 11),
+                                LENGTH_CODER_PRESETS[k])
+       for k in ("lc2", "lc3", "lc4", "lc5", "lc6", "lc7", "lc8")},
 }
 
 
