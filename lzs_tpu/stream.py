@@ -45,6 +45,7 @@ ERROR = 16            # malformed carried state (LZS_C/D_STATUS_ERROR,
                       # lzs.h:98,177 — invariant break, not bad input data)
 
 _HOLD = spec.SEARCH_MATCH_MAX          # bytes held back until more input
+_POOL = 1 << 15                        # max match-search span per slice
 
 
 @functools.lru_cache(maxsize=16)
@@ -70,7 +71,8 @@ def _matcher(pool: int, window: int, cap: int):
 def _best_matches_host(arr: np.ndarray, n: int,
                        window: int = spec.WINDOW_SIZE,
                        cap: int = spec.SEARCH_MATCH_MAX):
-    """Accelerated per-position match table over arr[:n]."""
+    """Accelerated per-position match table over arr[:n] (n <= 32768)."""
+    assert n <= _POOL, "match search supports spans up to 32768"
     pool = 256
     while pool < n:
         pool *= 2
@@ -120,6 +122,8 @@ class StreamCompressor:
     ended: bool = False           # end marker already emitted
     bit_acc: int = 0
     bit_n: int = 0
+    ext_off: int = 0              # mid-match extension run: offset (0 = off)
+    ext_carry: int = 0            # matched bytes not yet emitted as nibbles
     status: int = INPUT_STARVED
     total_in: int = 0
     total_out: int = 0
@@ -127,10 +131,49 @@ class StreamCompressor:
     def _check_state(self) -> bool:
         ok = (0 <= self.bit_n < 8
               and 0 <= self.bit_acc < (1 << max(self.bit_n, 0))
-              and len(self.window) <= spec.WINDOW_SIZE)
+              and len(self.window) <= spec.WINDOW_SIZE
+              and 0 <= self.ext_off <= spec.WINDOW_SIZE
+              and 0 <= self.ext_carry < spec.MAX_EXTENDED_LENGTH)
         if not ok:
             self.status = ERROR
         return ok
+
+    def _resume_ext(self, rest: bytes, finish: bool, sink: "_BitSink",
+                    out: bytearray) -> int:
+        """Continue an in-progress match run across a feed boundary.
+
+        The analogue of the reference's resumable COMPRESS_EXTENDED state
+        (lzs-compression.c:417-431,749-774): a match alive at a feed/slice
+        boundary keeps only (offset, unemitted-byte carry) as state; its
+        continuation is a direct byte compare, no match search needed.
+        Returns bytes of ``rest`` consumed by the run.
+        """
+        d = self.ext_off
+        ra = np.frombuffer(rest, np.uint8)
+        wa = np.frombuffer(self.window, np.uint8)[len(self.window) - d:]
+        ref = np.concatenate([wa, ra])[:len(ra)]
+        neq = np.nonzero(ra != ref)[0]
+        e = int(neq[0]) if neq.size else len(ra)
+        self.ext_carry += e
+        self.window = (self.window + rest[:e])[-spec.WINDOW_SIZE:]
+        emax = spec.MAX_EXTENDED_LENGTH
+        if e == len(ra) and not finish:
+            # run still alive: emit only the certain full nibbles
+            while self.ext_carry >= emax:
+                sink.put(emax, spec.EXTENDED_LENGTH_BITS, out)
+                self.ext_carry -= emax
+        else:
+            # run terminated (or input ends): close the nibble chain
+            c = self.ext_carry
+            while True:
+                nib = min(c, emax)
+                sink.put(nib, spec.EXTENDED_LENGTH_BITS, out)
+                c -= nib
+                if nib != emax:
+                    break
+            self.ext_off = 0
+            self.ext_carry = 0
+        return e
 
     def feed(self, data: bytes = b"", finish: bool = False,
              max_out: Optional[int] = None) -> bytes:
@@ -142,37 +185,63 @@ class StreamCompressor:
             return b""
         self.total_in += len(data)
         buf = self.pending + data
-        usable = len(buf) if finish else len(buf) - _HOLD
         out = bytearray()
         sink = _BitSink(self.bit_acc, self.bit_n)
-        if (usable > 0 or finish) and not self.ended:
+        emax = spec.MAX_EXTENDED_LENGTH
+        done = 0
+        # Process in slices bounded by the accelerator's 32768-position
+        # search span; matches alive at a slice end carry over via the
+        # extension state, so token decisions stay byte-identical to the
+        # one-shot encoder over the concatenated input.
+        while not self.ended:
+            if self.ext_off:
+                rest = buf[done:]
+                if not rest and not finish:
+                    break
+                done += self._resume_ext(rest, finish, sink, out)
+                if self.ext_off:
+                    break                      # run alive: consumed all
+                continue
+            remaining = len(buf) - done
+            if remaining - (0 if finish else _HOLD) <= 0:
+                break
             ctx = len(self.window)
-            arr = np.frombuffer(self.window + buf, np.uint8).astype(np.int32)
-            n = len(arr)
+            sub = buf[done:done + (_POOL - ctx)]
+            whole = len(sub) == remaining
+            n = ctx + len(sub)
+            # score finality needs SEARCH_MATCH_MAX bytes of look-ahead
+            # (the reference's INPUT_STARVED gate, lzs-compression.c:641-647)
+            limit = n - (0 if (finish and whole) else _HOLD)
+            arr = np.frombuffer(self.window + sub, np.uint8).astype(np.int32)
             score, off, full = _best_matches_host(arr, n)
-            limit = ctx + usable
             i = ctx
             while i < limit:
                 if score[i] >= spec.MIN_MATCH:
                     length = int(full[i])
                     end = i + length
-                    if end > limit:
-                        break
-                    self._emit_match(int(off[i]), length, sink, out)
-                    i = end
+                    if end >= n and not (finish and whole):
+                        # run alive at the slice end (length >= _HOLD >= 8):
+                        # emit the head now, carry the extension run
+                        self._emit_match_head(int(off[i]), sink, out)
+                        self.ext_off = int(off[i])
+                        self.ext_carry = (n - i) - spec.MAX_SHORT_LENGTH
+                        while self.ext_carry >= emax:
+                            sink.put(emax, spec.EXTENDED_LENGTH_BITS, out)
+                            self.ext_carry -= emax
+                        i = n
+                    else:
+                        self._emit_match(int(off[i]), length, sink, out)
+                        i = end
                 else:
-                    if i + 1 > limit:
-                        break
                     sink.put(0, 1, out)
                     sink.put(int(arr[i]), 8, out)
                     i += 1
-            consumed = i - ctx
-            self.window = (self.window + buf[:consumed])[-spec.WINDOW_SIZE:]
-            self.pending = buf[consumed:]
-        else:
-            self.pending = buf
+            consumed = min(i, n) - ctx
+            self.window = (self.window + sub[:consumed])[-spec.WINDOW_SIZE:]
+            done += consumed
+        self.pending = buf[done:]
         if finish and not self.ended:
-            assert not self.pending
+            assert not self.pending and not self.ext_off
             sink.put(spec.END_MARKER_VALUE, spec.END_MARKER_BITS, out)
             sink.pad_to_byte(out)
             self.ended = True
@@ -195,8 +264,8 @@ class StreamCompressor:
     def finish(self, max_out: Optional[int] = None) -> bytes:
         return self.feed(b"", finish=True, max_out=max_out)
 
-    def _emit_match(self, off: int, length: int, sink: _BitSink,
-                    out: bytearray) -> None:
+    def _emit_match_head(self, off: int, sink: _BitSink, out: bytearray,
+                         initial: int = spec.MAX_SHORT_LENGTH) -> None:
         sink.put(1, 1, out)
         if off <= spec.SHORT_OFFSET_MAX:
             sink.put(1, 1, out)
@@ -204,9 +273,13 @@ class StreamCompressor:
         else:
             sink.put(0, 1, out)
             sink.put(off, spec.LONG_OFFSET_BITS, out)
-        initial = min(length, spec.MAX_SHORT_LENGTH)
         sink.put(spec.LENGTH_CODE_VALUE[initial],
                  spec.LENGTH_CODE_WIDTH[initial], out)
+
+    def _emit_match(self, off: int, length: int, sink: _BitSink,
+                    out: bytearray) -> None:
+        initial = min(length, spec.MAX_SHORT_LENGTH)
+        self._emit_match_head(off, sink, out, initial)
         if initial == spec.MAX_SHORT_LENGTH:
             rest = length - spec.MAX_SHORT_LENGTH
             while True:

@@ -185,3 +185,32 @@ def test_cross_reference_c_streamed(ref_driver):
     assert ref_driver("d", comp) == DATA[:6000]
     c_comp = ref_driver("c", DATA[:6000])
     assert stream.decompress_stream(c_comp, 101) == DATA[:6000]
+
+
+def test_large_feed_slicing_matches_one_shot():
+    # feeds larger than the 32768-position search span must slice internally
+    # and still produce one-shot-identical bytes (including matches that
+    # stay alive across slice boundaries -> carried extension state)
+    rng = np.random.default_rng(11)
+    cases = [
+        bytes(rng.integers(0, 256, 70000, dtype=np.uint8)),
+        b"R" * 70000,                        # one run spanning two slices
+        (b"lorem ipsum dolor " * 5000)[:70000],
+    ]
+    for data in cases:
+        one = reference.lzs_compress(data)
+        for fs in (70000, 65536, 33000):
+            assert stream.compress_stream(data, fs) == one
+
+
+def test_extension_state_checkpoint_mid_run():
+    # checkpoint while a match run is alive at a feed boundary
+    data = b"A" * 200 + b"B" * 50000 + b"A" * 200
+    one = reference.lzs_compress(data)
+    c = stream.StreamCompressor()
+    out = c.feed(data[:30000])
+    assert c.ext_off or c.pending      # mid-run or holding back
+    c2 = stream.StreamCompressor.from_state_dict(c.state_dict())
+    out += c2.feed(data[30000:])
+    out += c2.finish()
+    assert out == one
