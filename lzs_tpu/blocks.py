@@ -128,6 +128,17 @@ class BlockCodec:
                 + endbits.tobytes() + recs_np.tobytes() + payload)
 
     def decompress(self, blob: bytes) -> bytes:
+        """Decode a container blob.
+
+        Every header field is validated against the payload before use
+        (the framing-layer extension of the reference's corrupt-input
+        hygiene, lzs-decompression.c:348-357): malformed, truncated, or
+        hostile containers raise ValueError, never index errors or silent
+        corruption. Fuzzed in tests/test_blocks_dist.py.
+        """
+        hdr_size = struct.calcsize(_HDR)
+        if len(blob) < hdr_size:
+            raise ValueError("container truncated: header incomplete")
         if blob[:4] != MAGIC:
             raise ValueError("not a container stream; use raw decode")
         magic, ver, _f, span, block, nblocks, orig = struct.unpack_from(
@@ -136,19 +147,43 @@ class BlockCodec:
             raise ValueError(f"unsupported container version {ver}")
         if block != self.block or span != self.span:
             raise ValueError("container block/span mismatch with codec")
-        pos = struct.calcsize(_HDR)
-        clens = np.frombuffer(blob, np.uint32, nblocks, pos).astype(np.int32)
+        if nblocks < 1 or nblocks > len(blob):
+            raise ValueError(f"implausible block count {nblocks}")
+        if not orig <= nblocks * block:
+            raise ValueError(
+                f"decoded size {orig} exceeds {nblocks} x {block} blocks")
+        if orig and not orig > (nblocks - 1) * block:
+            raise ValueError("decoded size implies empty trailing blocks")
+
+        def _take(count: int, pos: int, what: str) -> np.ndarray:
+            if pos + 4 * count > len(blob):
+                raise ValueError(f"container truncated in {what}")
+            return np.frombuffer(blob, np.uint32, count, pos).astype(
+                np.int64)
+
+        pos = hdr_size
+        clens = _take(nblocks, pos, "block lengths")
         pos += 4 * nblocks
-        nsync = np.frombuffer(blob, np.uint32, nblocks, pos).astype(np.int32)
+        nsync = _take(nblocks, pos, "sync counts")
         pos += 4 * nblocks
-        endbits = np.frombuffer(blob, np.uint32, nblocks, pos).astype(
-            np.int32)
+        endbits = _take(nblocks, pos, "end offsets").astype(np.int32)
         pos += 4 * nblocks
+        if (clens > self.cap).any() or (clens < 0).any():
+            raise ValueError("block compressed length exceeds capacity")
+        if (nsync > self.slots).any():
+            raise ValueError("sync record count exceeds slot capacity")
         total_recs = int(nsync.sum())
-        recs = np.frombuffer(blob, np.uint32, 2 * total_recs, pos).reshape(
-            total_recs, 2).astype(np.int32)
+        recs64 = _take(2 * total_recs, pos, "sync records")
+        recs = recs64.reshape(total_recs, 2).astype(np.int32)
         pos += 8 * total_recs
         payload = np.frombuffer(blob, np.uint8, offset=pos)
+        if len(payload) < clens.sum():
+            raise ValueError("container truncated in payload")
+        clens = clens.astype(np.int32)
+        nsync = nsync.astype(np.int32)
+        if (recs < 0).any() or (
+                recs[:, 0] > int(clens.max(initial=0)) * 8).any():
+            raise ValueError("sync record bit offset out of payload range")
 
         lens = np.full(nblocks, block, np.int32)
         if orig:

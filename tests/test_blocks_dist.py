@@ -103,3 +103,44 @@ def test_distributed_uneven_blocks(dist_codec):
     assert len(clens) == 4
     assert dist_codec.decompress(payload, clens, sbit, sout,
                                  _out_lens(data, 1024)) == data
+
+
+def test_container_fuzz_rejects_malformed(codec):
+    """Truncated/corrupted containers must raise clean ValueErrors (or
+    still decode when the mutation is semantically harmless) — never
+    index errors or crashes (framing-layer extension of the reference's
+    corrupt-input hygiene, lzs-decompression.c:348-357)."""
+    data = make_corpus(9000, seed=13)
+    blob = codec.compress(data)
+    rng = random.Random(99)
+    # systematic truncations at every section boundary plus random cuts
+    cuts = [0, 3, 4, 12, 23, len(blob) // 2, len(blob) - 1]
+    cuts += [rng.randrange(len(blob)) for _ in range(20)]
+    for cut in cuts:
+        try:
+            out = codec.decompress(blob[:cut])
+            assert out == data  # only acceptable non-raise: full data
+        except ValueError:
+            pass
+    # random single-byte corruptions across the header + index sections
+    hdr_span = min(len(blob), 24 + 12 * 5 + 40)
+    for _ in range(40):
+        pos = rng.randrange(hdr_span)
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << rng.randrange(8)
+        try:
+            out = codec.decompress(bytes(mut))
+            assert isinstance(out, bytes)  # garbage ok, crash not
+        except ValueError:
+            pass
+
+
+def test_container_wrong_magic_and_version(codec):
+    data = make_corpus(3000, seed=14)
+    blob = codec.compress(data)
+    with pytest.raises(ValueError):
+        codec.decompress(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError):
+        codec.decompress(blob[:4] + bytes([99]) + blob[5:])
+    with pytest.raises(ValueError):
+        codec.decompress(b"")
