@@ -18,16 +18,42 @@ sharded callables below are host-agnostic.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import decode2 as dec2_ops
 from ..ops import encode as enc_ops
 
 AXIS = "blocks"
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> None:
+    """Multi-host entry point: initialize the JAX distributed runtime.
+
+    Arguments default to the standard environment variables
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    cluster auto-detection jax.distributed supports natively). Call once
+    per process before building a mesh that spans hosts; single-process
+    use needs no call. Idempotent.
+    """
+    if jax._src.distributed.global_state.client is not None:  # already up
+        return
+    kwargs = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kwargs["coordinator_address"] = addr
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
 
 
 def make_block_mesh(devices=None) -> Mesh:
@@ -40,20 +66,26 @@ def encode_sharded(mesh: Mesh, block: int, chunk: int = 4096,
                    span: int = enc_ops.SYNC_SPAN):
     """Build a sharded batch encoder with an ordered all-gather.
 
+    The collective is explicit: each device encodes its block shard with
+    the local pipeline, then ``jax.lax.all_gather(..., tiled=True)`` inside
+    ``shard_map`` concatenates shards in mesh order over ICI/DCN — the
+    block order of the output is pinned to the input order by
+    construction, not left to GSPMD sharding propagation.
+
     Returns fn: (uint8[B, block], int32[B]) ->
     (comp, clens, sync_bit, sync_out, nsync), all replicated after the
     gather so any host can assemble the container.
     """
     enc = enc_ops.make_encoder(block, chunk=chunk, sync=True, span=span)
     in_s = NamedSharding(mesh, P(AXIS))
-    out_s = NamedSharding(mesh, P())
 
-    @jax.jit
-    def fn(x, n):
+    def local(x, n):
         outs = enc(x, n)
-        # ordered all-gather: resharding to replicated inserts the collective
-        return tuple(jax.lax.with_sharding_constraint(o, out_s)
-                     for o in outs)
+        return tuple(jax.lax.all_gather(o, AXIS, tiled=True) for o in outs)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS), P(AXIS)),
+                           out_specs=P()))
 
     def call(x, n):
         x = jax.device_put(x, in_s)
@@ -68,12 +100,13 @@ def decode_sharded(mesh: Mesh, block: int, span: int = enc_ops.SYNC_SPAN):
     cap = enc_ops.cap_bytes(block)
     dec = dec2_ops.make_decoder_sync(cap, block, span=span)
     in_s = NamedSharding(mesh, P(AXIS))
-    out_s = NamedSharding(mesh, P())
 
-    @jax.jit
-    def fn(comp, sbit, sout, n):
+    def local(comp, sbit, sout, n):
         out = dec(comp, sbit, sout, n)
-        return jax.lax.with_sharding_constraint(out, out_s)
+        return jax.lax.all_gather(out, AXIS, tiled=True)
+
+    fn = jax.jit(shard_map(local, mesh=mesh,
+                           in_specs=(P(AXIS),) * 4, out_specs=P()))
 
     def call(comp, sbit, sout, n):
         comp = jax.device_put(comp, in_s)

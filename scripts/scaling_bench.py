@@ -1,0 +1,83 @@
+"""Weak-scaling measurement on a virtual CPU mesh (1 -> 2 -> 4 -> 8).
+
+Fixed work PER DEVICE (so ideal scaling = constant wall time), the
+shard_map + all_gather pipeline from parallel.dist, chained-reps timing.
+Writes SCALING.json: per-mesh-size wall time and parallel efficiency
+(t_1device / t_N). Multi-chip hardware is not available in this
+environment; the CPU mesh measures the sharding/collective structure, not
+ICI bandwidth — the collective per device is O(B/N * cap) payload gather,
+constant per device under weak scaling.
+
+Usage: python scripts/scaling_bench.py [--per-dev-blocks N] [--block N]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-dev-blocks", type=int, default=8)
+    ap.add_argument("--block", type=int, default=1 << 13)
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from lzs_tpu.parallel import dist
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for ndev in (1, 2, 4, 8):
+        mesh = dist.make_block_mesh(jax.devices()[:ndev])
+        nblocks = args.per_dev_blocks * ndev
+        x = rng.integers(0, 256, (nblocks, args.block), dtype=np.uint8)
+        x[:, args.block // 4: args.block // 2] = 65
+        n = np.full(nblocks, args.block, np.int32)
+        enc = dist.encode_sharded(mesh, args.block, chunk=1024)
+        dec = dist.decode_sharded(mesh, args.block)
+
+        def run():
+            comp, clens, sbit, sout, nsync = enc(jnp.asarray(x),
+                                                 jnp.asarray(n))
+            out = dec(comp, sbit, sout, jnp.asarray(n))
+            jax.block_until_ready(out)
+            return out
+
+        out = run()                                   # compile + correctness
+        assert bytes(np.asarray(out)[0]) == bytes(x[0])
+        best = float("inf")
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            run()
+            best = min(best, time.perf_counter() - t0)
+        rows.append({"devices": ndev, "blocks": nblocks,
+                     "bytes": int(nblocks * args.block),
+                     "wall_s": round(best, 4)})
+        print(f"{ndev} devices: {nblocks} blocks, {best*1e3:.1f} ms",
+              file=sys.stderr)
+
+    t1 = rows[0]["wall_s"]
+    for r in rows:
+        r["efficiency"] = round(t1 / r["wall_s"], 3)
+    print(f"weak-scaling efficiency vs 1 device: "
+          f"{[r['efficiency'] for r in rows]}", file=sys.stderr)
+    out = {"kind": "weak_scaling_cpu_mesh", "rows": rows}
+    with open("SCALING.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
