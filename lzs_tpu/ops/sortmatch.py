@@ -198,7 +198,9 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         cdoff = jnp.maximum(doff[idx], 1)
 
         act = lanes
-        cln = jnp.zeros(cap, jnp.int32)
+        cln = cbase * 0     # (not jnp.zeros: carry must inherit the
+                            # varying manual axes of the data under
+                            # shard_map, or the while_loop below mistypes)
         for _ in range(_PROBE_ITERS):
             a = cbase + cln
             b = a - cdoff
@@ -236,7 +238,7 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
 
     _, length = jax.lax.while_loop(
         lambda s: jnp.any(s[0]), wave,
-        (active, jnp.zeros(npos, jnp.int32)))
+        (active, doff * 0))   # varying-axes-preserving zeros (see above)
     return length
 
 

@@ -101,7 +101,9 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         nxt = jnp.sum(jnp.where(lane == c - b0, ex, 0))
         return jnp.where(inside, nxt, c), c
 
-    _, entries = jax.lax.scan(entry_step, jnp.int32(0),
+    # step[0] * 0: the carry must inherit the varying manual axes of the
+    # data under shard_map (a bare jnp.int32(0) mistypes the scan)
+    _, entries = jax.lax.scan(entry_step, step[0] * 0,
                               (exits, base[:, 0]))
 
     # 3. descent: last chain position <= i, from the tile entry down

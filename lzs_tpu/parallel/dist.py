@@ -23,7 +23,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import decode2 as dec2_ops
@@ -83,9 +83,12 @@ def encode_sharded(mesh: Mesh, block: int, chunk: int = 4096,
         outs = enc(x, n)
         return tuple(jax.lax.all_gather(o, AXIS, tiled=True) for o in outs)
 
+    # check_vma=False: the tiled all_gather leaves every device holding the
+    # full array, so out_specs=P() is correct in fact; JAX's varying-axes
+    # type system cannot infer replication through all_gather (jax 0.9).
     fn = jax.jit(shard_map(local, mesh=mesh,
                            in_specs=(P(AXIS), P(AXIS)),
-                           out_specs=P()))
+                           out_specs=P(), check_vma=False))
 
     def call(x, n):
         x = jax.device_put(x, in_s)
@@ -106,7 +109,8 @@ def decode_sharded(mesh: Mesh, block: int, span: int = enc_ops.SYNC_SPAN):
         return jax.lax.all_gather(out, AXIS, tiled=True)
 
     fn = jax.jit(shard_map(local, mesh=mesh,
-                           in_specs=(P(AXIS),) * 4, out_specs=P()))
+                           in_specs=(P(AXIS),) * 4, out_specs=P(),
+                           check_vma=False))  # see encode_sharded
 
     def call(comp, sbit, sout, n):
         comp = jax.device_put(comp, in_s)

@@ -52,8 +52,11 @@ def main() -> None:
             for _ in range(reps):
                 out = fn(jnp.bitwise_xor(a0, (acc & 1).astype(a0.dtype)),
                          *rest)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                acc = acc + leaf.reshape(-1)[0].astype(jnp.int32)
+                # consume EVERY leaf with a full reduction: consuming one
+                # element lets XLA slice-propagate the stage away (the
+                # round-2 "parse 0.00 ms" lie)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    acc = acc + jnp.sum(leaf.astype(jnp.int32))
             return acc
         t0 = time.perf_counter()
         _ = np.asarray(run(*fnargs))
@@ -63,9 +66,12 @@ def main() -> None:
             t0 = time.perf_counter()
             _ = np.asarray(run(*fnargs))
             best = min(best, time.perf_counter() - t0)
+        flag = ""
+        if best < rtt * 1.5:   # timing below fetch noise floor: untrusted
+            flag = "  [WARN: < 1.5x RTT, unreliable]"
         s = max((best - rtt) / reps, 1e-9)
         print(f"{name:28s} {s*1e3:9.2f} ms   {nbytes/s/1e9:8.4f} GB/s   "
-              f"(compile {comp:.1f}s)", file=sys.stderr)
+              f"(compile {comp:.1f}s){flag}", file=sys.stderr)
         return s
 
     want = set(args.stages.split(",")) if args.stages else None
