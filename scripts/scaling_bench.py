@@ -1,12 +1,19 @@
 """Weak-scaling measurement on a virtual CPU mesh (1 -> 2 -> 4 -> 8).
 
-Fixed work PER DEVICE (so ideal scaling = constant wall time), the
-shard_map + all_gather pipeline from parallel.dist, chained-reps timing.
-Writes SCALING.json: per-mesh-size wall time and parallel efficiency
-(t_1device / t_N). Multi-chip hardware is not available in this
-environment; the CPU mesh measures the sharding/collective structure, not
-ICI bandwidth — the collective per device is O(B/N * cap) payload gather,
-constant per device under weak scaling.
+Fixed work PER DEVICE, the shard_map + all_gather pipeline from
+parallel.dist, best-of-reps timing. Multi-chip hardware is not available
+in this environment, and the N virtual CPU devices share the host's
+physical cores — so the raw wall ratio t_1/t_N conflates sharding
+overhead with plain core contention. SCALING.json therefore reports BOTH:
+
+  efficiency_raw   = t_1 / t_N                  (ideal 1.0 only if the
+                                                 host had >= N free cores)
+  efficiency       = t_1 * max(1, N/ncores) / t_N
+                     (vs the core-bound ideal: N devices on C cores can at
+                      best run N/C times longer under N-times the work;
+                      deviation from 1.0 is sharding/collective overhead,
+                      which is what a real N-chip mesh would add on top of
+                      per-chip compute)
 
 Usage: python scripts/scaling_bench.py [--per-dev-blocks N] [--block N]
 """
@@ -68,12 +75,17 @@ def main() -> None:
         print(f"{ndev} devices: {nblocks} blocks, {best*1e3:.1f} ms",
               file=sys.stderr)
 
+    ncores = os.cpu_count() or 1
     t1 = rows[0]["wall_s"]
     for r in rows:
-        r["efficiency"] = round(t1 / r["wall_s"], 3)
-    print(f"weak-scaling efficiency vs 1 device: "
-          f"{[r['efficiency'] for r in rows]}", file=sys.stderr)
-    out = {"kind": "weak_scaling_cpu_mesh", "rows": rows}
+        n = r["devices"]
+        r["efficiency_raw"] = round(t1 / r["wall_s"], 3)
+        r["efficiency"] = round(t1 * max(1, n / ncores) / r["wall_s"], 3)
+    print(f"host cores: {ncores}; core-bound weak-scaling efficiency: "
+          f"{[r['efficiency'] for r in rows]} "
+          f"(raw: {[r['efficiency_raw'] for r in rows]})", file=sys.stderr)
+    out = {"kind": "weak_scaling_cpu_mesh", "host_cores": ncores,
+           "rows": rows}
     with open("SCALING.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
