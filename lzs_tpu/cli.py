@@ -3,13 +3,18 @@
 Matches the reference CLI contract (c/src/utils/lzs-compress.c:60-76,
 python/lzs-compress.py:44-49): ``lzs-compress INFILE OUTFILE`` /
 ``lzs-decompress INFILE OUTFILE`` produce/consume raw LZS streams that
-interoperate with the reference implementations. The ``--container`` mode
-adds the block-parallel container framing (ops.decode2 fast path), and
-``--blocks`` selects block-parallel raw framing (concatenated independent
-streams — still reference-decodable).
+interoperate with the reference implementations.
+
+The default compress path is the device batch pipeline emitting raw
+concatenated per-block streams — each block an independent LZS stream
+with its own end marker, which the reference incremental decoder (the
+reference CLI default, lzs-decompression.c:559-576) decodes as one
+stream. ``--stream`` selects the carried-window host path instead (one
+continuous stream, byte-identical to the reference incremental encoder).
+``--container`` adds the framing that enables the sync-parallel decoder.
 
 Usage:
-    python -m lzs_tpu.cli compress   [--container | --blocks] IN OUT
+    python -m lzs_tpu.cli compress   [--container | --stream] IN OUT
     python -m lzs_tpu.cli decompress [--container] IN OUT
 """
 
@@ -19,17 +24,29 @@ import argparse
 import sys
 
 
+def _jax_cache() -> None:
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", "/tmp/lzs_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
 def _compress(args) -> int:
     data = open(args.infile, "rb").read()
     if args.container:
+        _jax_cache()
         from .blocks import BlockCodec
         out = BlockCodec(block=args.block).compress(data)
-    elif args.blocks:
-        from .blocks import BlockCodec
-        out = BlockCodec(block=args.block).compress(data, container=False)
-    else:
+    elif args.stream:
         from .stream import compress_stream
         out = compress_stream(data, feed_size=args.block)
+    else:
+        _jax_cache()
+        from .blocks import BlockCodec
+        out = BlockCodec(block=args.block).compress(data, container=False)
     open(args.outfile, "wb").write(out)
     if args.verbose:
         ratio = len(out) / max(len(data), 1)
@@ -69,10 +86,15 @@ def build_parser() -> argparse.ArgumentParser:
         p.add_argument("-v", "--verbose", action="store_true")
         p.set_defaults(fn=fn)
         if name == "compress":
+            p.add_argument("--stream", action="store_true",
+                           help="carried-window host path (one continuous "
+                                "stream, byte-identical to the reference "
+                                "incremental encoder)")
             p.add_argument("--blocks", action="store_true",
-                           help="raw concatenated per-block streams")
+                           help="(default) raw concatenated per-block "
+                                "streams via the device batch pipeline")
         else:
-            p.set_defaults(blocks=False)
+            p.set_defaults(blocks=False, stream=False)
     return ap
 
 

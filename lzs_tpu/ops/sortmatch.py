@@ -24,10 +24,12 @@ Structure (one suffix-style sort, then one cheap packed sort per k):
      the nearest previous occurrence of the k-gram. A second
      single-operand sort of pos<<16|cand restores position order.
 
-  Single-operand sorts are what the TPU sorts fastest (comparator cost
-  dominates lax.sort; measured ~0.9 ms per (64, 32768) int32 sort vs
-  ~2.5 ms for 4-key sorts), so deriving the 11 per-k orders from packed
-  keys costs ~one-third of sorting per-k gram keys directly.
+  Single-operand UNSTABLE sorts are what the TPU sorts fastest
+  (comparator cost dominates lax.sort; measured ~1.6 ms per (256, 32768)
+  int32 unstable sort vs ~7.2 ms stable and ~10 ms for 4-key sorts), so
+  deriving the 11 per-k orders from packed keys costs a fraction of
+  sorting per-k gram keys directly. Every key packs the position, making
+  the order unique, so stability is never needed.
 
 Correctness notes:
   * The nearest previous occurrence is global; if it is farther than
@@ -119,8 +121,11 @@ def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
     nwords = -(-cap // 4)
 
     words = _gram_words(x, nwords)
+    # is_stable=False everywhere in this module: every key includes the
+    # position, so the total order is unique and stability is pure cost
+    # (measured 7.2 ms stable vs 1.6 ms unstable per (256, 32768) sort).
     out = jax.lax.sort(tuple(words) + (i,), dimension=0,
-                       num_keys=nwords + 1)
+                       num_keys=nwords + 1, is_stable=False)
     swords, p = list(out[:nwords]), out[-1]
     plcp = _rank_lcp(swords, cap)
     r = jnp.arange(npos, dtype=jnp.int32)
@@ -130,13 +135,13 @@ def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
     for k in range(spec.MIN_MATCH, cap + 1):
         seg = jax.lax.cummax(jnp.where(plcp < k, r, 0))
         packed = (seg << 15) | p
-        skey = jax.lax.sort(packed)
+        skey = jax.lax.sort(packed, is_stable=False)
         prev = jnp.concatenate([jnp.full(1, -1, jnp.int32), skey[:-1]])
         mypos = skey & 0x7FFF
         prevpos = prev & 0x7FFF
         same = (skey >> 15) == (prev >> 15)
         cand = jnp.where(same & (mypos - prevpos <= window), prevpos, -1)
-        back = jax.lax.sort((mypos << 16) | (cand + 1))
+        back = jax.lax.sort((mypos << 16) | (cand + 1), is_stable=False)
         cand_k = (back & 0xFFFF) - 1
         hit = (cand_k >= 0) & (i + k <= n)
         score = jnp.where(hit, k, score)
@@ -159,7 +164,8 @@ def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
 
 
 _PROBE_ITERS = 2      # tier-1 probes: exact for extensions <= 32 bytes
-_PROBE_CAP = 1024     # compacted probe lanes per wave
+_PROBE_CAP = 256      # compacted probe lanes per wave (probes are now
+                      # rare — steal/data-end heads only; see best_matches)
 
 
 def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
@@ -192,7 +198,7 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         remaining, ln = state
         # compact: indices of up to `cap` active lanes (single-word sort)
         key = jnp.where(remaining, j, npos + j)
-        idx = jax.lax.sort(key)[:cap] % npos
+        idx = jax.lax.sort(key, is_stable=False)[:cap] % npos
         lanes = remaining[idx]                     # False once exhausted
         cbase = base[idx]
         cdoff = jnp.maximum(doff[idx], 1)
@@ -288,14 +294,41 @@ def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
     score, off = candidates(x, n, window=window, cap=cap)
     full, capped = small_extension(x, n, score, off, cap)
 
-    # Far-offset extension, probed only at *region heads*: consecutive
-    # capped positions with the same offset d satisfy
-    # runlen(i+1, d) = runlen(i, d) - 1 (the run loses its first byte), so
-    # one probe per maximal same-d run serves the whole run by subtraction.
+    # Far-offset extension at *region heads*: consecutive capped positions
+    # with the same offset d satisfy runlen(i+1, d) = runlen(i, d) - 1
+    # (the run loses its first byte), so one value per maximal same-d run
+    # serves the whole run by subtraction. Moreover, the run END usually
+    # pins that value with NO probe at all: if the run of m same-(cap, d)
+    # positions ends at e = i + m because score(e) < cap or off(e) > d,
+    # then runlen(e, d) < cap (off is the *minimum* capped offset), and
+    # since runlen decrements by exactly 1 along the diagonal,
+    # runlen(e-1, d) = cap exactly, hence runlen(i, d) = cap + m - 1.
+    # Probes are needed only when (a) the run was *stolen* by a strictly
+    # nearer capped offset (off(e) < d, where runlen(e, d) stays unknown)
+    # or (b) the run touches the data end (e + cap > n). Both are rare,
+    # which keeps the probe loop to a handful of compacted lanes.
     prev_c = jnp.concatenate([jnp.zeros(1, jnp.bool_), capped[:-1]])
     prev_o = jnp.concatenate([jnp.zeros(1, jnp.int32), off[:-1]])
     head = capped & (~prev_c | (off != prev_o))
-    ext_h = _probe_extension(x, n, i + cap, off, head)
+
+    brk = head | ~capped
+    is_cap_score = score >= cap
+    binfo = jnp.where(brk,
+                      (i << 13) | (is_cap_score.astype(jnp.int32) << 12)
+                      | jnp.clip(off, 0, 0x7FF),
+                      _BIG)
+    rcm = jnp.flip(jax.lax.cummin(jnp.flip(binfo)))     # next break >= j
+    nxt1 = jnp.concatenate([rcm[1:], jnp.full(1, _BIG, jnp.int32)])
+    has_brk = nxt1 < _BIG
+    e = jnp.where(has_brk, nxt1 >> 13, npos)
+    steal = has_brk & (((nxt1 >> 12) & 1) == 1) & ((nxt1 & 0x7FF) < off)
+    # e + cap >= n: membership in the run requires e + cap < n strictly,
+    # so a break at e + cap == n says nothing about runlen(e, d) — probe.
+    need_probe = head & ((e + cap >= n) | steal)
+    ext_res = e - i - 1
+    ext_p = _probe_extension(x, n, i + cap, off, need_probe)
+    ext_h = jnp.where(need_probe, ext_p, ext_res)
+
     pk = jax.lax.cummax(
         jnp.where(head, (i << 16) | jnp.minimum(cap + ext_h, 0xFFFF), -1))
     hfull = pk & 0xFFFF

@@ -70,7 +70,19 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
     step: int32[N] bytes consumed by a token starting at each position
     (>= 1 wherever i < n).
+
+    On TPU this dispatches to the Pallas kernel (ops.pallas_walk), which
+    keeps the jump tables VMEM-resident; the XLA formulation below is the
+    portable fallback (and the oracle the kernel is tested against).
     """
+    if jax.default_backend() == "tpu":
+        from . import pallas_walk
+
+        return pallas_walk.token_starts_walk(step, n)
+    return _token_starts_xla(step, n)
+
+
+def _token_starts_xla(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     npos = step.shape[0]
     pad = (-npos) % _TILE
     if pad:

@@ -93,6 +93,41 @@ def test_random_fuzz_vs_oracle():
         assert jax_decode(expect) == data
 
 
+def test_steal_heavy_fuzz_vs_oracle():
+    """Far-offset capped runs whose extension is resolved arithmetically
+    from the run end (sortmatch.best_matches) — adversarial cases: runs
+    stolen by a strictly nearer offset mid-run, nested periods, and
+    matches running to exactly the data end."""
+    rng = random.Random(99)
+    for trial in range(25):
+        parts = []
+        for _ in range(rng.randrange(2, 6)):
+            k = rng.randrange(5)
+            if k == 0:
+                p = rng.randrange(17, 300)
+                unit = bytes(rng.randrange(256) for _ in range(p))
+                parts.append(unit * rng.randrange(2, 8))
+            elif k == 1:   # nested periods: 40 inside 200
+                u = bytes(rng.randrange(256) for _ in range(40))
+                parts.append((u * 5) * rng.randrange(2, 4))
+            elif k == 2:   # match running to exactly the data end
+                u = bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(20, 60)))
+                parts.append(u + u)
+            elif k == 3:
+                parts.append(bytes(rng.randrange(256)
+                                   for _ in range(rng.randrange(10, 80))))
+            else:          # copies at two distances: offset switch mid-run
+                u = bytes(rng.randrange(256)
+                          for _ in range(rng.randrange(13, 30)))
+                filler = bytes(rng.randrange(256)
+                               for _ in range(rng.randrange(1, 200)))
+                parts.append(u + filler + u + u)
+        data = b"".join(parts)[:4096]
+        expect = ref.lzs_compress(data)
+        assert jax_encode(data, block=4096) == expect, f"trial {trial}"
+
+
 def test_window_limit_2047():
     # match at offset exactly 2047 is usable; offset 2048 is not
     pat = b"ZYXWVU"
