@@ -260,10 +260,13 @@ def small_extension(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
     full = score
     need_ext = score >= cap
     runs = _diag_runs(x, n, _DIAG)                          # (DIAG, N)
-    base = jnp.minimum(i + cap, npos - 1)
+    # runs[d-1] indexed at i + cap is a plain shift (no XLA gather — the
+    # serialized gather path costs ~10 ns/elem on TPU); positions with
+    # i + cap >= n are masked below, so the zero pad is never observed.
     ext_small = jnp.zeros(npos, jnp.int32)
     for d in range(1, _DIAG + 1):
-        ext_small = jnp.where(off == d, runs[d - 1][base], ext_small)
+        ext_small = jnp.where(off == d, _shift(runs[d - 1], cap),
+                              ext_small)
     ext_small = jnp.where(i + cap < n, ext_small, 0)
     small = need_ext & (off <= _DIAG)
     full = jnp.where(small, cap + ext_small, full)

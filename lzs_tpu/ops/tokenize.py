@@ -34,12 +34,6 @@ import jax.numpy as jnp
 
 from .. import spec
 
-# Length code value/width tables indexed by initial length 0..8
-# (lzs-compression.c:91-124). Entries 0/1 are unused.
-_LEN_VALUE = jnp.array([0, 0, 0b00, 0b01, 0b10, 0b1100, 0b1101, 0b1110,
-                        0b1111], jnp.int32)
-_LEN_WIDTH = jnp.array([0, 0, 2, 2, 2, 4, 4, 4, 4], jnp.int32)
-
 _TILE = 128
 _BIG = jnp.int32(0x3FFFFFFF)
 
@@ -71,11 +65,16 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     step: int32[N] bytes consumed by a token starting at each position
     (>= 1 wherever i < n).
 
-    On TPU this dispatches to the Pallas kernel (ops.pallas_walk), which
-    keeps the jump tables VMEM-resident; the XLA formulation below is the
-    portable fallback (and the oracle the kernel is tested against).
+    With LZS_PALLAS_WALK=1 this dispatches to the experimental Pallas
+    kernel (ops.pallas_walk). Default is the XLA formulation below: the
+    kernel as committed stalls the Mosaic compile on real v5e hardware
+    (reproduced at batch 2, npos 1024 — >400 s with no result), so it
+    must not be on the default path until that is fixed.
     """
-    if jax.default_backend() == "tpu":
+    import os
+
+    if (os.environ.get("LZS_PALLAS_WALK") == "1"
+            and jax.default_backend() == "tpu"):
         from . import pallas_walk
 
         return pallas_walk.token_starts_walk(step, n)
@@ -148,9 +147,13 @@ def emission_units(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
         starts = token_starts(jnp.where(i < n, length, 1), n)
 
     # --- head units at token starts ---
-    initial = jnp.clip(jnp.minimum(length, spec.MAX_SHORT_LENGTH), 0, 8)
-    lv = _LEN_VALUE[initial]
-    lw = _LEN_WIDTH[initial]
+    # Length code by arithmetic, not table gather (XLA gathers serialize
+    # on TPU): initial 2,3,4 -> 0b00,0b01,0b10 (2 bits); 5,6,7 ->
+    # 0b1100..0b1110 and 8 -> 0b1111 (4 bits). lzs-compression.c:91-124.
+    initial = jnp.clip(jnp.minimum(length, spec.MAX_SHORT_LENGTH), 2, 8)
+    short_code = initial < 5
+    lv = jnp.where(short_code, initial - 2, initial + 7)
+    lw = jnp.where(short_code, 2, 4)
     short = off <= spec.SHORT_OFFSET_MAX
     off_field = jnp.where(short, (1 << spec.SHORT_OFFSET_BITS) | off, off)
     off_width = jnp.where(short, 1 + spec.SHORT_OFFSET_BITS,
