@@ -208,10 +208,11 @@ def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
     return per_byte[:out_cap]
 
 
-@functools.partial(jax.jit, static_argnames=("out_cap", "span"))
+@functools.partial(jax.jit, static_argnames=("out_cap", "span", "chunk"))
 def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
                       sync_out: jnp.ndarray, n: jnp.ndarray, *,
-                      out_cap: int, span: int = enc.SYNC_SPAN):
+                      out_cap: int, span: int = enc.SYNC_SPAN,
+                      chunk: int = _CHUNK):
     """Decode one container block with sync metadata.
 
     Args:
@@ -237,12 +238,17 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
     src = jnp.where(is_lit | (acc < 0), j, src)
 
     # --- window-carry chunk expansion ---
-    nchunks = out_cap // _CHUNK
+    nchunks = out_cap // chunk
     resolved0 = is_lit | (acc < 0)
     st_all = jnp.where(resolved0, 0x100 | litval, 0)
-    # chain depth is bounded by the copy-token count in a chunk
-    # (every hop lands in an earlier token, copies are >= 2 bytes)
-    rounds = max(_CHUNK.bit_length() - 2, 1)
+    # chain depth is bounded by the copy-token count in a chunk: every
+    # hop lands in a strictly earlier copy token (src = s - d + r < s)
+    # and copy tokens are >= 2 bytes, so up to chunk/2 hops can chain
+    # and the doubling must reach exactly chunk/2 = 2^(bit_length - 2)
+    # (an L a b L a b ... pattern chains ~chunk/3 2-byte copies; one
+    # round fewer fails — pinned by test_deep_copy_chain_in_chunk)
+    rounds = max(chunk.bit_length() - 2, 1)
+    assert (1 << rounds) >= chunk // 2
 
     def chunk_step(win, inp):
         st, src_c, res_c, base = inp
@@ -252,25 +258,26 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
         wvals = mxu_gather(win[None, :], widx[None, :])[0]
         st = jnp.where(from_win, 0x100 | wvals, st)
         # in-chunk chains: pointer doubling over (val, res, ptr) planes
-        p = jnp.clip(src_c - base, 0, _CHUNK - 1)
+        p = jnp.clip(src_c - base, 0, chunk - 1)
         val = st & 0xFF
         res = st >> 8
         for _ in range(rounds):
-            planes = jnp.stack([val, (res << 3) | (p >> 8), p & 0xFF],
+            planes = jnp.stack([val, (res << 7) | (p >> 8), p & 0xFF],
                                axis=-1)
             g = mxu_gather(planes[None], p[None])[0]
-            ghit = (g[:, 1] >> 3) == 1
+            ghit = (g[:, 1] >> 7) == 1
             hit = (res == 0) & ghit
             val = jnp.where(hit, g[:, 0], val)
             res = jnp.where(hit, 1, res)
-            p = jnp.where(res == 0, ((g[:, 1] & 7) << 8) | g[:, 2], p)
-        win = jnp.concatenate([win[_CHUNK:], val])
+            p = jnp.where(res == 0, ((g[:, 1] & 0x7F) << 8) | g[:, 2], p)
+        win = (jnp.concatenate([win[chunk:], val]) if chunk <= _WIN
+               else val[chunk - _WIN:])
         return win, val
 
-    src_r = src.reshape(nchunks, _CHUNK)
-    st_r = st_all.reshape(nchunks, _CHUNK)
-    res_r = resolved0.reshape(nchunks, _CHUNK)
-    bases = jnp.arange(nchunks, dtype=jnp.int32) * _CHUNK
+    src_r = src.reshape(nchunks, chunk)
+    st_r = st_all.reshape(nchunks, chunk)
+    res_r = resolved0.reshape(nchunks, chunk)
+    bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     _, out = jax.lax.scan(chunk_step, jnp.zeros(_WIN, jnp.int32),
                           (st_r, src_r, res_r, bases))
     out = out.reshape(-1)

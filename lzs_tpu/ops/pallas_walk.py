@@ -1,24 +1,29 @@
 """Pallas TPU kernel for the greedy token-chain walk (token starts).
 
-Drop-in accelerator for ``tokenize.token_starts`` (the 3-stage jump-table
-resolution of the greedy LZS token chain, the reference's sequential state
-walk lzs-compression.c:301-448). The XLA formulation materializes a
-(rows, 128, 128) one-hot per pointer-doubling round in HBM (~3 GB of
-traffic per round at the bench batch); this kernel keeps every jump table
-VMEM-resident and performs the row-wise gathers as flat broadcast
-selects, so the only HBM traffic is the step input and the starts output.
+Drop-in accelerator for ``tokenize.token_starts`` (the greedy LZS token
+chain, the reference's sequential state walk lzs-compression.c:301-448).
 
-Structure per block (one grid step; the grid runs over the batch):
-  1. 7 pointer-doubling rounds build jump tables A_t[i] = position after
-     2^t token hops from i, frozen at the first position past i's
-     128-wide tile. All 8 levels live in a VMEM scratch.
-  2. The single sequential dependency — each tile's chain entry is the
-     previous tile's chain exit — is a fori_loop over tile rows inside
-     the kernel (dynamic row reads from the exit table; the per-step
-     lane extract is a 128-wide masked sum).
-  3. Descent: every position binary-searches down the jump tables from
-     its tile's entry; position i is a token start iff the last chain
-     position <= i is i itself.
+Formulation: within a 128-wide tile, the local step map a(l) = l + step
+is a functional graph with out-degree 1 whose edges point strictly
+forward. Its hop matrix M (M[l, l'] = 1 iff a(l) = l', in-tile only) is
+nilpotent and every power M^t is still 0/1 with at most one 1 per row,
+so the MXU computes exact reachability in a handful of matmuls:
+
+    P_0 = M,  P_{j+1} = P_j @ P_j            (= M^(2^j), entries 0/1)
+    row(C) = e^T (I+P_0)(I+P_1)...(I+P_6)    (= e^T sum_{t<128} M^t)
+
+bf16 is exact here: all values are 0/1 and row sums stay <= 1 (each
+pair of lanes is connected by at most one path length). Everything the
+walk needs falls out of that one closure row:
+  * start flags of the tile = the entry lane's closure row;
+  * the tile's exit = the unique chain position whose next hop leaves
+    the tile (an int32 masked sum on the VPU — exact for any step size).
+
+The single sequential dependency — tile t+1's chain entry is tile t's
+chain exit — is a fori_loop over tiles carrying one scalar. No gathers,
+no HBM one-hot materialization (the XLA fallback's cost): HBM traffic is
+the step input and the starts output; the (128, 128) tile matrices stay
+on-chip.
 
 ``token_starts_walk`` carries a custom_vmap rule: batching maps to the
 kernel grid (a plain vmap of a gridless pallas_call would instead try to
@@ -33,64 +38,53 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TILE = 128
-_ROUNDS = 7          # log2(_TILE)
+_DOUBLINGS = 7           # (I+P_0)...(I+P_6) covers path lengths < 128
 
 
-def _row_gather(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """out[r, l] = tbl[r, idx[r, l]] for idx in [0, 128): two-level digit
-    select — 8 row-chunk selects into a (r, 128, 16) register array, then
-    a 16-way in-chunk select. Masks are converted to int32 and applied
-    arithmetically: Mosaic rejects broadcast_in_dim on 1-bit vectors, so
-    the 3-D selects avoid i1 broadcasts entirely. VPU only."""
-    r, t = tbl.shape
-    assert t == _TILE
-    hi3 = (idx >> 4).reshape(r, _TILE, 1)           # int32 (r, 128, 1)
-    sel = jnp.zeros((r, _TILE, 16), tbl.dtype)
-    for h in range(8):
-        m = (hi3 == h).astype(tbl.dtype)            # (r, 128, 1) int32
-        chunk = tbl[:, 16 * h:16 * h + 16].reshape(r, 1, 16)
-        sel = sel + m * chunk
-    lo = idx & 15
-    out = jnp.zeros_like(idx)
-    for l in range(16):
-        out = out + (lo == l).astype(tbl.dtype) * sel[:, :, l]
-    return out
-
-
-def _walk_kernel(step_ref, starts_ref, tables_ref, entry_ref):
+def _walk_kernel(step_ref, starts_ref):
     rows = step_ref.shape[1]
-    base = jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 0) * _TILE
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 1)
-    i_abs = base + lane
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
 
-    # --- stage 1: pointer-doubling jump tables (all VMEM-resident) ---
-    a = i_abs + jnp.maximum(step_ref[0], 1)
-    tables_ref[0] = a
-    for t in range(1, _ROUNDS + 1):
-        g = _row_gather(a, jnp.clip(a - base, 0, _TILE - 1))
-        a = jnp.where(a < base + _TILE, g, a)
-        tables_ref[t] = a
+    def tile_body(t, entry):
+        base = t * _TILE
+        st = step_ref[0, pl.ds(t, 1), :]                  # (1, 128)
+        a_local = lane + jnp.maximum(st, 1)               # next hop, local
 
-    # --- stage 2: thread the chain entry tile by tile (sequential) ---
-    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, _TILE), 1)
+        # 0/1 in-tile hop matrix; bf16 keeps the matmuls on the MXU and
+        # is exact for the 0/1 values involved (see module docstring)
+        m = ((jnp.broadcast_to(a_local.reshape(_TILE, 1),
+                               (_TILE, _TILE)) == col)
+             & (a_local.reshape(_TILE, 1) < _TILE)).astype(jnp.bfloat16)
 
-    def entry_step(r, c):
-        ex = tables_ref[_ROUNDS, pl.ds(r, 1), :]          # (1, 128)
-        idx = c - r * _TILE
-        inside = (idx >= 0) & (idx < _TILE)
-        nxt = jnp.sum(jnp.where(lane_row == idx, ex, 0))
-        entry_ref[pl.ds(r, 1), :] = jnp.full((1, _TILE), c, jnp.int32)
-        return jnp.where(inside, nxt, c)
+        le = entry - base
+        inside = (le >= 0) & (le < _TILE)
+        le_c = jnp.clip(le, 0, _TILE - 1)
+        v = (lane == le_c).astype(jnp.bfloat16)           # (1, 128)
 
-    jax.lax.fori_loop(0, rows, entry_step, jnp.int32(0))
+        p = m
+        for j in range(_DOUBLINGS):
+            # Mosaic requires 32-bit matmul accumulation; the 0/1 values
+            # are exact in both widths, so the bf16 round-trip is free
+            v = v + jnp.dot(
+                v, p, preferred_element_type=jnp.float32).astype(
+                    jnp.bfloat16)
+            if j + 1 < _DOUBLINGS:
+                p = jnp.dot(
+                    p, p, preferred_element_type=jnp.float32).astype(
+                        jnp.bfloat16)
 
-    # --- stage 3: descent marking ---
-    pos = entry_ref[:]
-    for t in range(_ROUNDS - 1, -1, -1):
-        nxt = _row_gather(tables_ref[t], jnp.clip(pos - base, 0, _TILE - 1))
-        ok = (pos >= base) & (pos < base + _TILE) & (nxt <= i_abs)
-        pos = jnp.where(ok, nxt, pos)
-    starts_ref[0] = (pos == i_abs).astype(jnp.int32)
+        # bf16 compares don't lower on this target: widen to f32 first
+        on_chain = (v.astype(jnp.float32) > 0.5) & inside   # (1, 128)
+        starts_ref[0, pl.ds(t, 1), :] = on_chain.astype(jnp.int32)
+
+        # exit: the unique on-chain position whose next hop leaves the
+        # tile. int32 masked sum — exact for arbitrarily long steps.
+        leaves = on_chain & (a_local >= _TILE)
+        exit_abs = base + jnp.sum(jnp.where(leaves, a_local, 0))
+        return jnp.where(inside, exit_abs, entry)
+
+    jax.lax.fori_loop(0, rows, tile_body, jnp.int32(0))
 
 
 def _batched_call(steps: jnp.ndarray) -> jnp.ndarray:
@@ -109,14 +103,6 @@ def _batched_call(steps: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((b, rows, _TILE), jnp.int32),
         in_specs=[pl.BlockSpec((1, rows, _TILE), lambda i: (i, 0, 0))],
         out_specs=pl.BlockSpec((1, rows, _TILE), lambda i: (i, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((_ROUNDS + 1, rows, _TILE), jnp.int32),
-            pltpu.VMEM((rows, _TILE), jnp.int32),
-        ],
-        # the unrolled gather chains give Mosaic a deep live range; the
-        # default 16M scoped-vmem budget is too tight at 256 rows
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(steps3d)
     return out.reshape(b, rows * _TILE)[:, :npos]

@@ -65,11 +65,11 @@ def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     step: int32[N] bytes consumed by a token starting at each position
     (>= 1 wherever i < n).
 
-    With LZS_PALLAS_WALK=1 this dispatches to the experimental Pallas
-    kernel (ops.pallas_walk). Default is the XLA formulation below: the
-    kernel as committed stalls the Mosaic compile on real v5e hardware
-    (reproduced at batch 2, npos 1024 — >400 s with no result), so it
-    must not be on the default path until that is fixed.
+    With LZS_PALLAS_WALK=1 this dispatches to the Pallas MXU-closure
+    kernel (ops.pallas_walk). Default is the XLA formulation below,
+    which measures faster on v5e (83 ms vs 102 ms at the bench shape:
+    the kernel's per-tile 128x128 closure matmuls are MXU-latency-bound
+    inside a 65536-iteration loop, and Mosaic cannot batch them).
     """
     import os
 

@@ -78,3 +78,29 @@ def test_sync_mixed_batch_fuzz():
                 parts.append(prev[:rng.integers(0, min(len(prev) + 1, 800))])
         data = b"".join(parts)[:4096]
         assert roundtrip(data, 4096, 160) == data
+
+
+def test_deep_copy_chain_in_chunk():
+    """Adversarial expansion-chain depth: L0 A B L1 A B L2 A B ... makes
+    greedy emit a 2-byte copy every 3 bytes, each copy sourcing inside
+    the PREVIOUS copy token — ~85 chained hops inside one 256-byte
+    expansion chunk. Pins the doubling reach of decode2's chunk scan
+    (chunk/2 copy tokens can chain; 6 rounds = 64 hops was too few)."""
+    lits = [c for c in range(256) if c not in (65, 66)]
+    parts = []
+    for k in range(1300):
+        parts.append(bytes([lits[k % len(lits)], 65, 66]))
+    data = b"".join(parts)[:3900]
+    assert roundtrip(data, 4096, 2048) == data
+
+
+def test_deep_copy_chain_matches_reference():
+    lits = [c for c in range(256) if c not in (65, 66)]
+    data = b"".join(bytes([lits[k % len(lits)], 65, 66])
+                    for k in range(400))[:1200]
+    x = np.zeros(2048, np.uint8)
+    x[:len(data)] = np.frombuffer(data, np.uint8)
+    comp, nbytes, _, _, _ = enc.encode_block_sync(
+        jnp.asarray(x), jnp.int32(len(data)))
+    got = bytes(np.asarray(comp)[:int(nbytes)])
+    assert got == reference.lzs_compress(data)
