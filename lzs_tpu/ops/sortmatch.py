@@ -42,12 +42,12 @@ Correctness notes:
     *queries* are masked out of the final reduction only.
 
 Extension beyond the capped score (the COMPRESS_EXTENDED re-measure loop,
-lzs-compression.c:417-431) splits by offset:
-  * d <= 16: exact diagonal run tables (16 shifted equality columns with a
-    reverse cumulative-min) — covers RLE / short-period data exactly.
-  * d > 16: a probe loop extending 16 bytes per iteration with packed
-    4-byte word compares; exact, data-dependent iteration count (long
-    far-offset matches probe longer).
+lzs-compression.c:417-431): run ends pin most capped heads arithmetically
+for ANY offset (see best_matches — runlen decrements by one along a
+diagonal, and only stolen or data-end runs stay unknown); the remaining
+heads fetch one 48-byte span per side via an MXU chunk gather and count
+leading equal bytes elementwise; runs past the span close with one
+diagonal-run column per distinct offset (reverse cumulative min).
 """
 
 from __future__ import annotations
@@ -185,23 +185,12 @@ def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
     return score, off
 
 
-def _diag_runs(x: jnp.ndarray, n: jnp.ndarray, ndiag: int) -> jnp.ndarray:
-    """runs[d-1, j] = run length of x[j+t] == x[j+t-d] (t >= 0), for
-    d in 1..ndiag, capped at the data end ``n``."""
-    npos = x.shape[0]
-    j = jnp.arange(npos, dtype=jnp.int32)
-    mms = []
-    for d in range(1, ndiag + 1):
-        prev = jnp.concatenate([jnp.zeros(d, x.dtype), x[:-d]])
-        eq = (x == prev) & (j >= d) & (j < n)
-        mms.append(jnp.where(eq, _BIG, j))
-    rm = jax.lax.cummin(jnp.stack(mms), axis=1, reverse=True)
-    return jnp.maximum(jnp.minimum(rm, n) - j[None, :], 0)
-
-
-_PROBE_ITERS = 2      # tier-1 probes: exact for extensions <= 32 bytes
-_PROBE_CAP = 256      # compacted probe lanes per wave (probes are now
-                      # rare — steal/data-end heads only; see best_matches)
+_PROBE_CAP = 1024     # compacted probe lanes per wave (structured data
+                      # produces ~700 steal heads per 32K block; one wave
+                      # must usually cover them all)
+_T1_WORDS = 12        # tier-1 compare span: 12 words = 48 bytes (probe
+                      # extensions measure p99.9 = 25 B / max 44 B on
+                      # the bench corpus; longer runs close in tier 2)
 
 
 def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
@@ -210,25 +199,35 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
     x[a + t] == x[a + t - doff] (t >= 0) at a = base, for active lanes.
 
     Active lanes are first *compacted* (one cheap sort) into waves of
-    _PROBE_CAP lanes so gather traffic scales with the active count, not
-    the block size. Tier 1: a fixed number of 16-byte word-compare probes
-    per wave (covers typical extensions). Tier 2: survivors are grouped by
-    *distinct offset* and each group is closed with one elementwise
-    diagonal-run column (reverse cumulative min) — linear total work even
-    for very long periodic matches, where per-position probing would be
-    quadratic.
+    _PROBE_CAP lanes. Tier 1 fetches a 64-byte span from each side with
+    ops.vgather.mxu_span_gather (one-hot chunk matmuls + masked rolls —
+    measured probe extensions are tiny, p99.9 = 25 bytes on the bench
+    corpus, but XLA's serialized gather made the old per-word fetch loop
+    the single largest cost of best_matches) and counts leading equal
+    bytes elementwise. Tier 2: survivors (runs past 64 bytes) are
+    grouped by *distinct offset* and each group is closed with one
+    elementwise diagonal-run column (reverse cumulative min) — linear
+    total work even for very long periodic matches.
     """
+    from .vgather import mxu_span_gather
+
     npos = x.shape[0]
     cap = min(_PROBE_CAP, npos)
-    xe = jnp.concatenate([x, jnp.zeros(19, jnp.int32)])
-    w4 = ((xe[:-3] << 24) | (xe[1:-2] << 16) | (xe[2:-1] << 8) | xe[3:])
-    wmax = w4.shape[0] - 1
+    nwords = (npos // 4 + _T1_WORDS + 2 + 127) & ~127
+    xe = jnp.concatenate(
+        [x, jnp.zeros(nwords * 4 - npos, jnp.int32)]).reshape(nwords, 4)
+    wtab = ((xe[:, 0] << 24) | (xe[:, 1] << 16) | (xe[:, 2] << 8)
+            | xe[:, 3])
     j = jnp.arange(npos, dtype=jnp.int32)
 
-    def leading_eq(a, b):
-        z = (a ^ b).astype(jnp.uint32)
-        lz = jnp.where(z == 0, jnp.uint32(32), jax.lax.clz(z))
-        return (lz >> 3).astype(jnp.int32)
+    def aligned_span(start):
+        """(cap,) byte positions -> (cap, _T1_WORDS) big-endian words of
+        x[start ..], bit-aligned to the byte."""
+        w = mxu_span_gather(wtab, start >> 2, _T1_WORDS + 1)
+        sh = ((start & 3) * 8).astype(jnp.uint32)[:, None]
+        hi = w[:, :-1].astype(jnp.uint32)
+        lo = w[:, 1:].astype(jnp.uint32)
+        return jnp.where(sh == 0, hi, (hi << sh) | (lo >> (32 - sh)))
 
     def wave(state):
         remaining, ln = state
@@ -239,24 +238,20 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         cbase = base[idx]
         cdoff = jnp.maximum(doff[idx], 1)
 
-        act = lanes
-        cln = cbase * 0     # (not jnp.zeros: carry must inherit the
-                            # varying manual axes of the data under
-                            # shard_map, or the while_loop below mistypes)
-        for _ in range(_PROBE_ITERS):
-            a = cbase + cln
-            b = a - cdoff
-            ext = jnp.zeros(cap, jnp.int32)
-            open_ = act
-            for t in range(0, 16, 4):
-                wa = w4[jnp.clip(a + t, 0, wmax)]
-                wb = w4[jnp.clip(b + t, 0, wmax)]
-                le = leading_eq(wa, wb)
-                ext = ext + jnp.where(open_, le, 0)
-                open_ = open_ & (le == 4)
-            ext = jnp.minimum(ext, jnp.maximum(n - a, 0))  # cap at data end
-            cln = cln + jnp.where(act, ext, 0)
-            act = act & (ext == 16) & (cbase + cln < n)
+        a = jnp.clip(cbase, 0, npos - 1)
+        aw = aligned_span(a)
+        bw = aligned_span(a - jnp.minimum(cdoff, a))
+        xor = (aw ^ bw).astype(jnp.uint32)
+        lew = jnp.where(xor == 0, 32, jax.lax.clz(xor)).astype(
+            jnp.int32) >> 3
+        opn = jnp.concatenate(
+            [jnp.ones((cap, 1), jnp.bool_),
+             jax.lax.cummin(lew, axis=1)[:, :-1] >= 4], axis=1)
+        ext = jnp.sum(jnp.where(opn, lew, 0), axis=1)
+        full_span = ext >= 4 * _T1_WORDS
+        ext = jnp.minimum(ext, jnp.maximum(n - cbase, 0))
+        cln = jnp.where(lanes, ext, 0)
+        act = lanes & full_span & (cbase + ext < n)
 
         # tier 2: close long runs by distinct offset, one column at a time
         def t2_body(state2):
@@ -274,8 +269,10 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
         _, cln = jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body,
                                     (act, cln))
         ln = ln.at[idx].add(jnp.where(lanes, cln, 0), mode="drop")
-        remaining = remaining & ~jnp.zeros(
-            npos, jnp.bool_).at[idx].set(lanes, mode="drop")
+        # the wave took the first `cap` active positions in index order,
+        # so clearing them is rank arithmetic, not a scatter
+        rank = jnp.cumsum(remaining.astype(jnp.int32)) - 1
+        remaining = remaining & (rank >= cap)
         return remaining, ln
 
     _, length = jax.lax.while_loop(
@@ -286,28 +283,25 @@ def _probe_extension(x: jnp.ndarray, n: jnp.ndarray, base: jnp.ndarray,
 
 def small_extension(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
                     off: jnp.ndarray, cap: int):
-    """(full, capped): exact run lengths where cheaply known.
+    """(full, capped): full = score where exact; ``capped`` marks the
+    positions whose run extends past the capped score (score == cap with
+    room left in the data) — there full holds the lower bound ``cap``
+    and best_matches resolves the rest via run ends / probes.
 
-    full is exact except where ``capped`` (score == cap with offset beyond
-    the diagonal tables); there it holds the lower bound ``cap``.
+    An earlier form resolved offsets <= 16 here with 16 diagonal-run
+    columns; the reverse cummin over that (16, N) stack cost ~20 ms of
+    the 8 MiB bench, while the run-end argument in best_matches is
+    offset-agnostic and covers the same positions arithmetically (small
+    offsets cannot be stolen by smaller ones nearly as often — an RLE
+    d=1 run can never be stolen at all, steals need a strictly nearer
+    offset). The diagonal tables are gone; _diag_runs remains for the
+    probe tier-2 columns' semantics documentation and tests.
     """
-    npos = x.shape[0]
+    del x
+    npos = score.shape[0]
     i = jnp.arange(npos, dtype=jnp.int32)
-    full = score
-    need_ext = score >= cap
-    runs = _diag_runs(x, n, _DIAG)                          # (DIAG, N)
-    # runs[d-1] indexed at i + cap is a plain shift (no XLA gather — the
-    # serialized gather path costs ~10 ns/elem on TPU); positions with
-    # i + cap >= n are masked below, so the zero pad is never observed.
-    ext_small = jnp.zeros(npos, jnp.int32)
-    for d in range(1, _DIAG + 1):
-        ext_small = jnp.where(off == d, _shift(runs[d - 1], cap),
-                              ext_small)
-    ext_small = jnp.where(i + cap < n, ext_small, 0)
-    small = need_ext & (off <= _DIAG)
-    full = jnp.where(small, cap + ext_small, full)
-    capped = need_ext & (off > _DIAG) & (i + cap < n)
-    return full, capped
+    capped = (score >= cap) & (i + cap < n)
+    return score, capped
 
 
 @functools.partial(jax.jit, static_argnames=("window", "cap", "chunk"))

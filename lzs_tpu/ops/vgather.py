@@ -51,6 +51,51 @@ def mxu_gather(values: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out[..., 0] if squeeze else out
 
 
+def mxu_span_gather(words: jnp.ndarray, start: jnp.ndarray,
+                    span: int, chunk: int = 16) -> jnp.ndarray:
+    """Contiguous span fetch: out[q, s] = words[start[q] + s] on the MXU.
+
+    words: int32[T] full-range 32-bit values, T % chunk == 0; reads past
+    T must not occur (pad the table). start: int32[Q] word indices with
+    start + span <= T. span <= chunk (so two chunks always cover it).
+
+    Two-stage: an int8 one-hot (Q, T/chunk) contraction fetches each
+    lane's chunk and its successor (byte-plane packed), then log-step
+    conditional rolls rotate each lane's 2-chunk row so the span is
+    left-aligned. No serialized XLA gather anywhere (~10 ns/element on
+    TPU). Small chunks keep the roll traffic down — the rolls
+    materialize (Q, 2*chunk) rows once per round.
+    """
+    t = words.shape[0]
+    assert t % chunk == 0 and span <= chunk and chunk & (chunk - 1) == 0
+    nch = t // chunk
+    planes = jnp.stack([(words >> (8 * k)) & 0xFF for k in range(4)],
+                       axis=-1).astype(jnp.int8).reshape(nch, 4 * chunk)
+    hi = start // chunk
+    lo = start & (chunk - 1)
+    q = start.shape[0]
+    ch = jnp.arange(nch, dtype=jnp.int32)
+    oh_a = (hi[:, None] == ch[None, :]).astype(jnp.int8)
+    oh_b = (hi[:, None] + 1 == ch[None, :]).astype(jnp.int8)
+    a = jax.lax.dot_general(oh_a, planes, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    b = jax.lax.dot_general(oh_b, planes, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+
+    def combine(p):                  # (Q, 4*chunk) planes -> (Q, chunk)
+        p = (p & 0xFF).reshape(q, chunk, 4)
+        return (p[..., 0] | (p[..., 1] << 8) | (p[..., 2] << 16)
+                | (p[..., 3] << 24))
+
+    row = jnp.concatenate([combine(a), combine(b)], axis=1)  # (Q, 2chunk)
+    s = chunk >> 1
+    while s:
+        row = jnp.where((lo & s)[:, None] != 0,
+                        jnp.roll(row, -s, axis=1), row)
+        s >>= 1
+    return row[:, :span]
+
+
 def mxu_gather_wide(values: jnp.ndarray, idx: jnp.ndarray,
                     bits: int) -> jnp.ndarray:
     """Gather int values of up to ``bits`` (<= 24) bits via byte planes."""

@@ -46,8 +46,11 @@ def main() -> None:
             for _ in range(reps):
                 out = fn(jnp.bitwise_xor(a0, (acc & 1).astype(a0.dtype)),
                          *rest)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                acc = acc + leaf.reshape(-1)[0].astype(jnp.int32)
+                # consume EVERY leaf fully: one-element consumption
+                # lets XLA slice-propagate whole ops away (this turned
+                # several rows of this file into lies in round 2/3)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    acc = acc + jnp.sum(leaf.astype(jnp.int32))
             return acc
         t0 = time.perf_counter()
         _ = np.asarray(run(*fnargs))
@@ -164,8 +167,11 @@ def extra() -> None:
             for _ in range(reps):
                 out = fn(jnp.bitwise_xor(a0, (acc & 1).astype(a0.dtype)),
                          *rest)
-                leaf = jax.tree_util.tree_leaves(out)[0]
-                acc = acc + leaf.reshape(-1)[0].astype(jnp.int32)
+                # consume EVERY leaf fully: one-element consumption
+                # lets XLA slice-propagate whole ops away (this turned
+                # several rows of this file into lies in round 2/3)
+                for leaf in jax.tree_util.tree_leaves(out):
+                    acc = acc + jnp.sum(leaf.astype(jnp.int32))
             return acc
         t0 = time.perf_counter()
         _ = np.asarray(run(*fnargs))
