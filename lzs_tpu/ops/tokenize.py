@@ -59,26 +59,38 @@ def _tile_gather(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return (out[..., 0] & 0xFF) | ((out[..., 1] & 0xFF) << 8)
 
 
+@jax.custom_batching.custom_vmap
 def token_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     """bool[N]: True at greedy token start positions.
 
     step: int32[N] bytes consumed by a token starting at each position
     (>= 1 wherever i < n).
 
-    With LZS_PALLAS_WALK=1 this dispatches to the Pallas MXU-closure
-    kernel (ops.pallas_walk). Default is the XLA formulation below,
-    which measures faster on v5e (83 ms vs 102 ms at the bench shape:
-    the kernel's per-tile 128x128 closure matmuls are MXU-latency-bound
-    inside a 65536-iteration loop, and Mosaic cannot batch them).
+    On TPU this runs the Pallas VMEM walk (ops.pwalk: in-tile jump
+    tables + descent via Mosaic dynamic lane gathers — 0.09 ms vs 85 ms
+    for the XLA formulation at the 8 MiB bench batch). The custom_vmap
+    rule maps a vmapped call straight onto the batched kernel. Off-TPU
+    the XLA formulation below is used (XLA-CPU gathers are cheap).
     """
-    import os
+    if jax.default_backend() == "tpu":
+        from . import pwalk
 
-    if (os.environ.get("LZS_PALLAS_WALK") == "1"
-            and jax.default_backend() == "tpu"):
-        from . import pallas_walk
-
-        return pallas_walk.token_starts_walk(step, n)
+        return pwalk.walk_starts(step[None], n[None])[0]
     return _token_starts_xla(step, n)
+
+
+@token_starts.def_vmap
+def _token_starts_vmap(axis_size, in_batched, step, n):
+    step_b, n_b = in_batched
+    if not step_b:
+        step = jnp.broadcast_to(step, (axis_size,) + step.shape)
+    if not n_b:
+        n = jnp.broadcast_to(n, (axis_size,))
+    if jax.default_backend() == "tpu":
+        from . import pwalk
+
+        return pwalk.walk_starts(step, n), True
+    return jax.vmap(_token_starts_xla)(step, n), True
 
 
 def _token_starts_xla(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
