@@ -55,22 +55,27 @@ def sync_scan_len(span: int = SYNC_SPAN) -> int:
     return -(-(span + MAX_STEP_BITS) // MIN_STEP_BITS) + 1
 
 
-def _pipeline(x, n, window, cap, chunk, backend):
+def _pipeline_batch(x, n, window, cap, chunk, backend):
+    """Batched encode pipeline: x int32[B, N], n int32[B]."""
     x = x.astype(jnp.int32)
+    nb, npos = x.shape
     if backend == "sort":
-        score, off, full = sortmatch.best_matches(
-            x, n, window=window, cap=cap, chunk=chunk)
+        score, off, full = sortmatch.best_matches_batch(
+            x, n, window=window, cap=cap)
     else:
-        score, off, full = match.best_matches(
-            x, n, window=window, cap=cap, chunk=min(chunk, 256))
-    value, width, starts, length = tokenize.emission_units(
+        score, off, full = jax.vmap(
+            lambda a, b: match.best_matches(
+                a, b, window=window, cap=cap, chunk=min(chunk, 256)))(x, n)
+    value, width, starts, length = jax.vmap(tokenize.emission_units)(
         x, n, score, off, full)
-    value = jnp.concatenate([value, jnp.array([spec.END_MARKER_VALUE],
-                                              jnp.int32)])
-    width = jnp.concatenate([width, jnp.array([spec.END_MARKER_BITS],
-                                              jnp.int32)])
-    comp, total_bits, offs = bitpack.pack_bits(value, width,
-                                               cap_bytes(x.shape[0]))
+    value = jnp.concatenate(
+        [value, jnp.full((nb, 1), spec.END_MARKER_VALUE, jnp.int32)],
+        axis=1)
+    width = jnp.concatenate(
+        [width, jnp.full((nb, 1), spec.END_MARKER_BITS, jnp.int32)],
+        axis=1)
+    comp, total_bits, offs = jax.vmap(
+        lambda v, w: bitpack.pack_bits(v, w, cap_bytes(npos)))(value, width)
     nbytes = (total_bits + 7) >> 3
     return comp, nbytes, total_bits, offs, width, starts, off
 
@@ -93,7 +98,20 @@ def encode_block(x: jnp.ndarray, n: jnp.ndarray, *,
       (comp: uint8[cap_bytes(N)], nbytes: int32) — the stream including the
       end marker and zero padding to a byte boundary.
     """
-    comp, nbytes = _pipeline(x, n, window, cap, chunk, backend)[:2]
+    comp, nbytes = _pipeline_batch(x[None], n[None], window, cap, chunk,
+                                   backend)[:2]
+    return comp[0], nbytes[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "cap", "chunk", "backend"))
+def encode_batch(x: jnp.ndarray, n: jnp.ndarray, *,
+                 window: int = spec.WINDOW_SIZE,
+                 cap: int = spec.SEARCH_MATCH_MAX,
+                 chunk: int = 4096, backend: str = "sort"):
+    """Batched encode_block: (uint8[B, N], int32[B]) ->
+    (uint8[B, cap_bytes(N)], int32[B])."""
+    comp, nbytes = _pipeline_batch(x, n, window, cap, chunk, backend)[:2]
     return comp, nbytes
 
 
@@ -123,11 +141,33 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
       slots hold the stream-end sentinel: sync_bit = total token bits,
       sync_out = n.
     """
-    assert span % 32 == 0 and span > MAX_STEP_BITS
-    npos = x.shape[0]
-    comp, nbytes, total_bits, offs, width, starts, off = _pipeline(
-        x, n, window, cap, chunk, backend)
+    out = encode_batch_sync(x[None], n[None], window=window, cap=cap,
+                            chunk=chunk, backend=backend, span=span)
+    return tuple(o[0] for o in out)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("window", "cap", "chunk", "backend", "span"))
+def encode_batch_sync(x: jnp.ndarray, n: jnp.ndarray, *,
+                      window: int = spec.WINDOW_SIZE,
+                      cap: int = spec.SEARCH_MATCH_MAX,
+                      chunk: int = 4096, backend: str = "sort",
+                      span: int = SYNC_SPAN):
+    """Batched encode_block_sync (see its docstring for the record
+    contract): (uint8[B, N], int32[B]) -> (comp, nbytes, sync_bit,
+    sync_out, nsync) with a leading batch axis on every output."""
+    assert span % 32 == 0 and span > MAX_STEP_BITS
+    comp, nbytes, total_bits, offs, width, starts, off = _pipeline_batch(
+        x, n, window, cap, chunk, backend)
+    sync_bit, sync_out, nsync = jax.vmap(
+        lambda tb, of, wd, st, o, nn: _sync_records(
+            tb, of, wd, st, o, nn, span))(
+        total_bits, offs, width, starts, off, n)
+    return comp, nbytes, sync_bit, sync_out, nsync
+
+
+def _sync_records(total_bits, offs, width, starts, off, n, span):
+    npos = starts.shape[0]
     i = jnp.arange(npos, dtype=jnp.int32)
     # parse steps: a token head is one step; every NIBBLES_PER_STEP
     # extension nibbles are one step (decode2 consumes nibble runs)
@@ -172,25 +212,24 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
     slot = jnp.arange(nslots, dtype=jnp.int32)
     sync_bit = jnp.where(slot < nsync, built_bit, end_bits)
     sync_out = jnp.where(slot < nsync, built_rec, n)
-    return comp, nbytes, sync_bit, sync_out, nsync
+    return sync_bit, sync_out, nsync
 
 
 def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
                  cap: int = spec.SEARCH_MATCH_MAX, chunk: int = 4096,
                  backend: str = "sort", sync: bool = False,
                  span: int = SYNC_SPAN):
-    """Return a jitted encoder over fixed block size, vmapped over a batch.
+    """Return a jitted batch encoder over fixed block size.
 
     Maps (uint8[B, block], int32[B]) -> (uint8[B, cap_bytes], int32[B])
     plus (sync_bit, sync_out, nsync) when ``sync``.
     """
+    del block
     if sync:
-        fn = functools.partial(encode_block_sync, window=window, cap=cap,
-                               chunk=chunk, backend=backend, span=span)
-    else:
-        fn = functools.partial(encode_block, window=window, cap=cap,
-                               chunk=chunk, backend=backend)
-    return jax.jit(jax.vmap(fn))
+        return functools.partial(encode_batch_sync, window=window, cap=cap,
+                                 chunk=chunk, backend=backend, span=span)
+    return functools.partial(encode_batch, window=window, cap=cap,
+                             chunk=chunk, backend=backend)
 
 
 # ---------------------------------------------------------------------------

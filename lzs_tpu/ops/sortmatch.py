@@ -185,6 +185,105 @@ def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
     return score, off
 
 
+# ---------------------------------------------------------------------------
+# Chunked batch candidates (the fast path)
+# ---------------------------------------------------------------------------
+
+_CQ = 2048            # query positions per chunk row
+_CL = 2048            # lookback bytes per chunk row (window 2047 fits)
+_CTX = 16             # gram context past the row (grams read cap bytes)
+
+
+def candidates_batch(x: jnp.ndarray, n: jnp.ndarray, *,
+                     window: int = spec.WINDOW_SIZE,
+                     cap: int = spec.SEARCH_MATCH_MAX):
+    """Per-position greedy (score, off) for a batch of blocks.
+
+    Same result as ``jax.vmap(candidates)`` but sorted in window-local
+    chunk rows of ``_CL + _CQ`` = 4096 elements: the LZS window is 2047
+    bytes (lzs.h:60), so every in-window predecessor of a query in chunk
+    c lies inside the row [c*2048 - 2048, c*2048 + 2048). Chunked rows
+    sort ~3x cheaper per element than whole-block rows on v5e (0.30 ms
+    vs 0.92 ms per 8.4 M int32) and halve the sorted key width.
+
+    x: int32[B, N] byte values (zeros past ``n``); N % 2048 == 0.
+    Returns (score, off): int32[B, N] each.
+    """
+    b, npos = x.shape
+    if npos % _CQ != 0:       # small/odd blocks: whole-block sorts
+        return jax.vmap(lambda a, m: candidates(
+            a, m, window=window, cap=cap))(x, n)
+    assert spec.MIN_MATCH <= cap <= 16
+    assert window < _CL
+    nc = npos // _CQ
+    w = _CL + _CQ
+    x = x.astype(jnp.int32)
+
+    # rows xr[b, c, j] = x[b, c*Q - L + j] with zero padding outside
+    xp = jnp.pad(x, ((0, 0), (_CL, _CTX)))
+    xr = jnp.stack([xp[:, c * _CQ: c * _CQ + w + _CTX]
+                    for c in range(nc)], axis=1)       # (B, nc, W+CTX)
+    xr = xr.reshape(b * nc, w + _CTX)
+
+    nwords = -(-cap // 4)
+    words = [wd[:, :w] for wd in _gram_words(xr, nwords)]
+
+    j = jnp.arange(w, dtype=jnp.int32)
+    pos = jnp.broadcast_to(j[None, :], (b * nc, w))
+
+    out = jax.lax.sort(tuple(words) + (pos,), dimension=1,
+                       num_keys=nwords + 1, is_stable=False)
+    swords, p = list(out[:nwords]), out[-1]
+    plcp = _rank_lcp_rows(swords, cap)
+    r = jnp.broadcast_to(j[None, :], (b * nc, w))
+    # the fake lookback of chunk 0 (zero padding before the block) must
+    # never be chosen as a predecessor: per-k keys carry a fake bit just
+    # above the position so fakes sort after the real elements of their
+    # segment and are rejected explicitly
+    chunk0 = (jnp.arange(b * nc, dtype=jnp.int32) % nc == 0)[:, None]
+    fk = (chunk0 & (p < _CL)).astype(jnp.int32)
+
+    iq = (jnp.arange(nc, dtype=jnp.int32)[None, :, None] * _CQ
+          + jnp.arange(_CQ, dtype=jnp.int32)[None, None, :])  # (1,nc,Q)
+    nq = n[:, None, None]
+    score = jnp.zeros((b, nc, _CQ), jnp.int32)
+    off = jnp.zeros((b, nc, _CQ), jnp.int32)
+    for k in range(spec.MIN_MATCH, cap + 1):
+        seg = jax.lax.cummax(jnp.where(plcp < k, r, 0), axis=1)
+        packed = (seg << 14) | (fk << 13) | p
+        skey = jax.lax.sort(packed, dimension=1, is_stable=False)
+        prev = jnp.concatenate(
+            [jnp.full((b * nc, 1), -1, jnp.int32), skey[:, :-1]], axis=1)
+        mypos = skey & 0x1FFF
+        prevpos = prev & 0x1FFF
+        same = (skey >> 14) == (prev >> 14)
+        prev_real = ((prev >> 13) & 1) == 0
+        cand = jnp.where(same & prev_real
+                         & (mypos - prevpos <= window), prevpos, -1)
+        back = jax.lax.sort((mypos << 13) | (cand + 1), dimension=1,
+                            is_stable=False)
+        cand_k = ((back & 0x1FFF) - 1)[:, _CL:].reshape(b, nc, _CQ)
+        hit = (cand_k >= 0) & (iq + k <= nq)
+        score = jnp.where(hit, k, score)
+        off = jnp.where(hit, _CL + iq % _CQ - cand_k, off)
+    return score.reshape(b, npos), off.reshape(b, npos)
+
+
+def _rank_lcp_rows(words: list[jnp.ndarray], cap: int) -> jnp.ndarray:
+    """Row-wise _rank_lcp: words are (R, W) sorted gram-word columns."""
+    rows, w = words[0].shape
+    lcp = jnp.full((rows, w), cap, jnp.int32)
+    consumed = jnp.zeros((rows, w), jnp.bool_)
+    for wi, col in enumerate(words):
+        prev = jnp.concatenate([~col[:, :1], col[:, :-1]], axis=1)
+        z = col ^ prev
+        here = 4 * wi + (jax.lax.clz(z) >> 3).astype(jnp.int32)
+        differs = z != 0
+        lcp = jnp.where(differs & ~consumed, jnp.minimum(here, cap), lcp)
+        consumed = consumed | differs
+    return lcp
+
+
 _PROBE_CAP = 1024     # compacted probe lanes per wave (structured data
                       # produces ~700 steal heads per 32K block; one wave
                       # must usually cover them all)
@@ -322,9 +421,27 @@ def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
     """
     del chunk
     x = x.astype(jnp.int32)
+    score, off = candidates(x, n, window=window, cap=cap)
+    return (score, off) + (_extend(x, n, score, off, cap),)
+
+
+@functools.partial(jax.jit, static_argnames=("window", "cap"))
+def best_matches_batch(x: jnp.ndarray, n: jnp.ndarray, *,
+                       window: int = spec.WINDOW_SIZE,
+                       cap: int = spec.SEARCH_MATCH_MAX):
+    """Batched best_matches: int32[B, N] x, int32[B] n -> (score, off,
+    full) int32[B, N] each. Candidates come from the chunked-sort path
+    (candidates_batch); the run-end/probe extension is vmapped."""
+    x = x.astype(jnp.int32)
+    score, off = candidates_batch(x, n, window=window, cap=cap)
+    full = jax.vmap(functools.partial(_extend, cap=cap))(x, n, score, off)
+    return score, off, full
+
+
+def _extend(x, n, score, off, cap):
+    """Uncapped run length at the chosen offset for capped positions."""
     npos = x.shape[0]
     i = jnp.arange(npos, dtype=jnp.int32)
-    score, off = candidates(x, n, window=window, cap=cap)
     full, capped = small_extension(x, n, score, off, cap)
 
     # Far-offset extension at *region heads*: consecutive capped positions
@@ -367,4 +484,4 @@ def best_matches(x: jnp.ndarray, n: jnp.ndarray, *,
     hfull = pk & 0xFFFF
     hpos = pk >> 16
     full = jnp.where(capped, hfull - (i - hpos), full)
-    return score, off, full
+    return full

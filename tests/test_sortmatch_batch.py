@@ -1,0 +1,67 @@
+"""Chunked-sort candidates_batch parity vs the whole-block sort oracle.
+
+The chunked path rows cover [c*2048 - 2048, c*2048 + 2048); the LZS
+window of 2047 (lzs.h:60) guarantees every in-window predecessor is in
+the row, so results must be identical to the global sort.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lzs_tpu.ops import sortmatch
+
+
+def _mixed_corpus(rng, npos):
+    kinds = [
+        lambda: (rng.integers(0, 4, npos) + 97),          # tiny alphabet
+        lambda: np.tile(rng.integers(0, 256, 16), npos // 16 + 1)[:npos],
+        lambda: rng.integers(0, 256, npos),                # random
+        lambda: np.repeat(rng.integers(0, 256, npos // 64 + 1),
+                          64)[:npos],                      # RLE runs
+    ]
+    return kinds[rng.integers(0, len(kinds))]().astype(np.int32)
+
+
+@pytest.mark.parametrize("npos", [4096, 8192])
+def test_candidates_batch_matches_oracle(npos):
+    rng = np.random.default_rng(npos)
+    b = 4
+    x = np.stack([_mixed_corpus(rng, npos) for _ in range(b)])
+    n = np.array([npos, npos - 17, npos // 2 + 3, 5], np.int32)
+    for i in range(b):
+        x[i, n[i]:] = 0
+    sj, nj = jnp.asarray(x), jnp.asarray(n)
+    gs, go = map(np.asarray, jax.jit(sortmatch.candidates_batch)(sj, nj))
+    ws, wo = map(np.asarray, jax.jit(jax.vmap(
+        lambda a, m: sortmatch.candidates(a, m)))(sj, nj))
+    np.testing.assert_array_equal(gs, ws)
+    np.testing.assert_array_equal(go, wo)
+
+
+def test_best_matches_batch_matches_oracle():
+    rng = np.random.default_rng(7)
+    npos, b = 4096, 3
+    x = np.stack([_mixed_corpus(rng, npos) for _ in range(b)])
+    n = np.array([npos, npos - 1, 2048], np.int32)
+    for i in range(b):
+        x[i, n[i]:] = 0
+    sj, nj = jnp.asarray(x), jnp.asarray(n)
+    got = jax.jit(sortmatch.best_matches_batch)(sj, nj)
+    want = jax.jit(jax.vmap(
+        lambda a, m: sortmatch.best_matches(a, m)))(sj, nj)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_candidates_batch_small_block_fallback():
+    rng = np.random.default_rng(11)
+    x = (rng.integers(0, 8, (2, 1024)) + 60).astype(np.int32)
+    n = np.array([1024, 700], np.int32)
+    gs, go = map(np.asarray, sortmatch.candidates_batch(
+        jnp.asarray(x), jnp.asarray(n)))
+    ws, wo = map(np.asarray, jax.vmap(
+        lambda a, m: sortmatch.candidates(a, m))(jnp.asarray(x),
+                                                 jnp.asarray(n)))
+    np.testing.assert_array_equal(gs, ws)
+    np.testing.assert_array_equal(go, wo)
