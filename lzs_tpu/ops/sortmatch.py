@@ -185,88 +185,48 @@ def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
     return score, off
 
 
+# Whole-block batch candidates (the fast path)
 # ---------------------------------------------------------------------------
-# Chunked batch candidates (the fast path)
-# ---------------------------------------------------------------------------
-
-_CQ = 2048            # query positions per chunk row
-_CL = 2048            # lookback bytes per chunk row (window 2047 fits)
-_CTX = 16             # gram context past the row (grams read cap bytes)
 
 
 def candidates_batch(x: jnp.ndarray, n: jnp.ndarray, *,
                      window: int = spec.WINDOW_SIZE,
-                     cap: int = spec.SEARCH_MATCH_MAX):
+                     cap: int = spec.SEARCH_MATCH_MAX,
+                     pallas_glue: bool | None = None):
     """Per-position greedy (score, off) for a batch of blocks.
 
-    Same result as ``jax.vmap(candidates)`` but sorted in window-local
-    chunk rows of ``_CL + _CQ`` = 4096 elements: the LZS window is 2047
-    bytes (lzs.h:60), so every in-window predecessor of a query in chunk
-    c lies inside the row [c*2048 - 2048, c*2048 + 2048). Chunked rows
-    sort ~3x cheaper per element than whole-block rows on v5e (0.30 ms
-    vs 0.92 ms per 8.4 M int32) and halve the sorted key width.
+    Same result as ``jax.vmap(candidates)``, restructured for the TPU:
+    the initial 12-byte-gram sort demotes the position to a payload
+    operand (plcp and the per-k regroup do not depend on the order of
+    equal grams), every lax.sort call is split into <= 16 MB row groups
+    (pcand._row_sort), and the per-k glue between the sorts runs as
+    Pallas VMEM kernels (pcand) instead of XLA cummax/elementwise ops.
 
-    x: int32[B, N] byte values (zeros past ``n``); N % 2048 == 0.
+    x: int32[B, N] byte values (zeros past ``n``).
     Returns (score, off): int32[B, N] each.
     """
     b, npos = x.shape
-    if npos % _CQ != 0:       # small/odd blocks: whole-block sorts
+    assert spec.MIN_MATCH <= cap <= 16
+    x = x.astype(jnp.int32)
+    if pallas_glue is None:
+        pallas_glue = jax.default_backend() == "tpu"
+    if not pallas_glue or npos % 512 != 0:
         return jax.vmap(lambda a, m: candidates(
             a, m, window=window, cap=cap))(x, n)
-    assert spec.MIN_MATCH <= cap <= 16
-    assert window < _CL
-    nc = npos // _CQ
-    w = _CL + _CQ
-    x = x.astype(jnp.int32)
 
-    # rows xr[b, c, j] = x[b, c*Q - L + j] with zero padding outside
-    xp = jnp.pad(x, ((0, 0), (_CL, _CTX)))
-    xr = jnp.stack([xp[:, c * _CQ: c * _CQ + w + _CTX]
-                    for c in range(nc)], axis=1)       # (B, nc, W+CTX)
-    xr = xr.reshape(b * nc, w + _CTX)
+    from . import pcand
 
     nwords = -(-cap // 4)
-    words = [wd[:, :w] for wd in _gram_words(xr, nwords)]
-
-    j = jnp.arange(w, dtype=jnp.int32)
-    pos = jnp.broadcast_to(j[None, :], (b * nc, w))
-
-    out = jax.lax.sort(tuple(words) + (pos,), dimension=1,
-                       num_keys=nwords + 1, is_stable=False)
+    words = _gram_words(x, nwords)
+    pos = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
+                           (b, npos))
+    rows_per_call = max(8, (16 << 20) // (4 * npos))
+    out = pcand._row_sort(tuple(words) + (pos,), rows_per_call,
+                          num_keys=nwords)
     swords, p = list(out[:nwords]), out[-1]
     plcp = _rank_lcp_rows(swords, cap)
-    r = jnp.broadcast_to(j[None, :], (b * nc, w))
-    # the fake lookback of chunk 0 (zero padding before the block) must
-    # never be chosen as a predecessor: per-k keys carry a fake bit just
-    # above the position so fakes sort after the real elements of their
-    # segment and are rejected explicitly
-    chunk0 = (jnp.arange(b * nc, dtype=jnp.int32) % nc == 0)[:, None]
-    fk = (chunk0 & (p < _CL)).astype(jnp.int32)
-
-    iq = (jnp.arange(nc, dtype=jnp.int32)[None, :, None] * _CQ
-          + jnp.arange(_CQ, dtype=jnp.int32)[None, None, :])  # (1,nc,Q)
-    nq = n[:, None, None]
-    score = jnp.zeros((b, nc, _CQ), jnp.int32)
-    off = jnp.zeros((b, nc, _CQ), jnp.int32)
-    for k in range(spec.MIN_MATCH, cap + 1):
-        seg = jax.lax.cummax(jnp.where(plcp < k, r, 0), axis=1)
-        packed = (seg << 14) | (fk << 13) | p
-        skey = jax.lax.sort(packed, dimension=1, is_stable=False)
-        prev = jnp.concatenate(
-            [jnp.full((b * nc, 1), -1, jnp.int32), skey[:, :-1]], axis=1)
-        mypos = skey & 0x1FFF
-        prevpos = prev & 0x1FFF
-        same = (skey >> 14) == (prev >> 14)
-        prev_real = ((prev >> 13) & 1) == 0
-        cand = jnp.where(same & prev_real
-                         & (mypos - prevpos <= window), prevpos, -1)
-        back = jax.lax.sort((mypos << 13) | (cand + 1), dimension=1,
-                            is_stable=False)
-        cand_k = ((back & 0x1FFF) - 1)[:, _CL:].reshape(b, nc, _CQ)
-        hit = (cand_k >= 0) & (iq + k <= nq)
-        score = jnp.where(hit, k, score)
-        off = jnp.where(hit, _CL + iq % _CQ - cand_k, off)
-    return score.reshape(b, npos), off.reshape(b, npos)
+    return pcand.perk_candidates(plcp, p, n, kmin=spec.MIN_MATCH,
+                                 kmax=cap, window=window)
 
 
 def _rank_lcp_rows(words: list[jnp.ndarray], cap: int) -> jnp.ndarray:

@@ -80,21 +80,20 @@ def main() -> None:
         return want is None or name in want
 
     # --- encode stages ---
-    vb = jax.vmap(lambda a, b: sortmatch.candidates(a, b))
     if on("cand"):
-        timed("enc: candidates(sorts)", lambda a, b: vb(a, b), x, lens)
-    score, off = jax.jit(vb)(x, lens)
+        timed("enc: candidates(sorts)",
+              lambda a, b: sortmatch.candidates_batch(a, b), x, lens)
+    score, off = jax.jit(sortmatch.candidates_batch)(x, lens)
 
-    vse = jax.vmap(lambda a, b, s, o: sortmatch.small_extension(
-        a, b, s, o, 12))
-    if on("smallext"):
-        timed("enc: small_extension", lambda a, b, s, o: vse(a, b, s, o),
+    vext = jax.vmap(lambda a, b, s, o: sortmatch._extend(a, b, s, o, 12))
+    if on("ext"):
+        timed("enc: extension", lambda a, b, s, o: vext(a, b, s, o),
               x, lens, score, off)
 
-    vbm = jax.vmap(lambda a, b: sortmatch.best_matches(a, b))
     if on("match"):
-        timed("enc: best_matches(all)", lambda a, b: vbm(a, b), x, lens)
-    score2, off2, full2 = jax.jit(vbm)(x, lens)
+        timed("enc: best_matches(all)",
+              lambda a, b: sortmatch.best_matches_batch(a, b), x, lens)
+    score2, off2, full2 = jax.jit(sortmatch.best_matches_batch)(x, lens)
 
     i = jnp.arange(args.block, dtype=jnp.int32)
 
@@ -121,12 +120,12 @@ def main() -> None:
     if on("pack"):
         timed("enc: pack_bits", lambda v, w: vpk(v, w), value, width)
 
-    venc = jax.vmap(lambda a, b: enc_ops.encode_block(a, b))
     if on("encode"):
-        timed("enc: encode_block(all)", lambda a, b: venc(a, b), x, lens)
-    vencs = jax.vmap(lambda a, b: enc_ops.encode_block_sync(a, b))
+        timed("enc: encode_batch", lambda a, b: enc_ops.encode_batch(a, b),
+              x, lens)
+    vencs = enc_ops.encode_batch_sync
     if on("encode_sync"):
-        timed("enc: encode_block_sync", lambda a, b: vencs(a, b), x, lens)
+        timed("enc: encode_batch_sync", lambda a, b: vencs(a, b), x, lens)
 
     # --- decode stages ---
     comp, clen, sbit, sout, nsync = jax.jit(vencs)(x, lens)

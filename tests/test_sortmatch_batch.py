@@ -54,6 +54,23 @@ def test_best_matches_batch_matches_oracle():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+def test_candidates_batch_pallas_glue_interpret():
+    """The Pallas per-k glue path (pcand), interpreter mode, small shape."""
+    rng = np.random.default_rng(3)
+    npos, b = 512, 2
+    x = np.stack([_mixed_corpus(rng, npos) for _ in range(b)])
+    n = np.array([npos, npos - 29], np.int32)
+    x[1, n[1]:] = 0
+    sj, nj = jnp.asarray(x), jnp.asarray(n)
+    gs, go = map(np.asarray, jax.jit(
+        lambda a, m: sortmatch.candidates_batch(a, m, pallas_glue=True))(
+        sj, nj))
+    ws, wo = map(np.asarray, jax.jit(jax.vmap(
+        lambda a, m: sortmatch.candidates(a, m)))(sj, nj))
+    np.testing.assert_array_equal(gs, ws)
+    np.testing.assert_array_equal(go, wo)
+
+
 def test_candidates_batch_small_block_fallback():
     rng = np.random.default_rng(11)
     x = (rng.integers(0, 8, (2, 1024)) + 60).astype(np.int32)
