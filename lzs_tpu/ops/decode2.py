@@ -45,7 +45,7 @@ import jax.numpy as jnp
 
 from .. import spec
 from . import encode as enc
-from .vgather import mxu_gather
+
 
 _CHUNK = 256          # expansion chunk (bytes per scan step)
 _WIN = 2048           # carried window capacity (>= WINDOW_SIZE)
@@ -190,22 +190,37 @@ def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
     byte opos; a cummax then carries each record to the bytes it covers.
     Returns int32[out_cap] records (-1 where no token covers the byte).
     """
-    flat = recs.T.reshape(-1)                            # lane-major
+    return _ownership_batch(recs[None], out_cap)[0]
+
+
+def _ownership_batch(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
+    """Batched _ownership: recs int32[B, S, L] -> int32[B, out_cap].
+
+    The two merge sorts run through pcand._row_sort so every lax.sort
+    call stays VMEM-resident (<= 16 MB) — a single vmapped sort at the
+    bench shape costs ~36 ms vs ~7 ms split.
+    """
+    from .pcand import _row_sort
+
+    b = recs.shape[0]
+    flat = jnp.swapaxes(recs, 1, 2).reshape(b, -1)       # lane-major
     j = jnp.arange(out_cap, dtype=jnp.int32)
-    b_entry = (j << 13) | (1 << 12)
-    merged = jnp.concatenate([jnp.where(flat >= 0, flat, _BIG), b_entry])
+    b_entry = jnp.broadcast_to((j << 13) | (1 << 12), (b, out_cap))
+    merged = jnp.concatenate(
+        [jnp.where(flat >= 0, flat, _BIG), b_entry], axis=1)
+    m = merged.shape[1]
+    rows1 = max(8, ((16 << 20) // (4 * m)) & ~7)
     # unique values (records have strictly increasing opos; byte entries
     # have unique positions and a distinct tag bit) -> unstable sort is
     # safe and ~4x cheaper on TPU
-    v = jax.lax.sort(merged, is_stable=False)
+    v = _row_sort(merged, rows1)
     is_tok = (v < _BIG) & ((v >> 12) & 1 == 0)
-    acc = jax.lax.cummax(jnp.where(is_tok, v, -1))
+    acc = jax.lax.cummax(jnp.where(is_tok, v, -1), axis=1)
     back_key = jnp.where((v >> 12) & 1 == 1, v >> 13, _BIG)
     # byte entries have unique back_key; the shared-_BIG tail is sliced
     # off below, so its internal order is irrelevant -> unstable is safe
-    _, per_byte = jax.lax.sort((back_key, acc), dimension=0, num_keys=1,
-                               is_stable=False)
-    return per_byte[:out_cap]
+    _, per_byte = _row_sort((back_key, acc), rows1, num_keys=1)
+    return per_byte[:, :out_cap]
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "span", "chunk"))
@@ -223,70 +238,49 @@ def decode_block_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
 
     Returns uint8[out_cap] (bytes past ``n`` are zero).
     """
-    recs = _parse(comp, sync_bit, sync_out, span)
-    acc = _ownership(recs, out_cap)
+    out, _ = decode_batch_sync(comp[None], sync_bit[None], sync_out[None],
+                               n[None], out_cap=out_cap, span=span,
+                               chunk=chunk)
+    return out[0]
 
-    seg_start = acc >> 13
-    is_copy = (acc >> 11) & 1
-    pay = acc & 0x7FF
 
-    j = jnp.arange(out_cap, dtype=jnp.int32)
-    d = jnp.maximum(pay, 1)
-    src = seg_start - d + jax.lax.rem(j - seg_start, d)
-    is_lit = (is_copy == 0) & (acc >= 0)
-    litval = jnp.where(is_lit, pay, 0)
-    src = jnp.where(is_lit | (acc < 0), j, src)
+@functools.partial(jax.jit, static_argnames=("out_cap", "span", "chunk"))
+def decode_batch_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
+                      sync_out: jnp.ndarray, n: jnp.ndarray, *,
+                      out_cap: int, span: int = enc.SYNC_SPAN,
+                      chunk: int = _CHUNK):
+    """Batched sync-parallel decode with per-block status words.
 
-    # --- window-carry chunk expansion ---
-    nchunks = out_cap // chunk
-    resolved0 = is_lit | (acc < 0)
-    st_all = jnp.where(resolved0, 0x100 | litval, 0)
-    # chain depth is bounded by the copy-token count in a chunk: every
-    # hop lands in a strictly earlier copy token (src = s - d + r < s)
-    # and copy tokens are >= 2 bytes, so up to chunk/2 hops can chain
-    # and the doubling must reach exactly chunk/2 = 2^(bit_length - 2)
-    # (an L a b L a b ... pattern chains ~chunk/3 2-byte copies; one
-    # round fewer fails — pinned by test_deep_copy_chain_in_chunk)
-    rounds = max(chunk.bit_length() - 2, 1)
-    assert (1 << rounds) >= chunk // 2
+    Args:
+      comp: uint8[B, C]; sync_bit/sync_out: int32[B, I]; n: int32[B].
+      out_cap: static output capacity (the block size).
 
-    def chunk_step(win, inp):
-        st, src_c, res_c, base = inp
-        # window hits
-        widx = jnp.clip(src_c - (base - _WIN), 0, _WIN - 1)
-        from_win = (~res_c) & (src_c < base)
-        wvals = mxu_gather(win[None, :], widx[None, :])[0]
-        st = jnp.where(from_win, 0x100 | wvals, st)
-        # in-chunk chains: pointer doubling over (val, res, ptr) planes
-        p = jnp.clip(src_c - base, 0, chunk - 1)
-        val = st & 0xFF
-        res = st >> 8
-        for _ in range(rounds):
-            planes = jnp.stack([val, (res << 7) | (p >> 8), p & 0xFF],
-                               axis=-1)
-            g = mxu_gather(planes[None], p[None])[0]
-            ghit = (g[:, 1] >> 7) == 1
-            hit = (res == 0) & ghit
-            val = jnp.where(hit, g[:, 0], val)
-            res = jnp.where(hit, 1, res)
-            p = jnp.where(res == 0, ((g[:, 1] & 0x7F) << 8) | g[:, 2], p)
-        win = (jnp.concatenate([win[chunk:], val]) if chunk <= _WIN
-               else val[chunk - _WIN:])
-        return win, val
+    Returns (out uint8[B, out_cap], status int32[B]). Status is a
+    bitmask in the spirit of LzsDecompressStatus_t (lzs.h:170-178):
+      bit 0  a byte inside [0, n) had no covering token
+      bit 1  a copy source fell before the block start (zero-filled)
+    0 means the block decoded cleanly.
+    """
+    del chunk
+    from . import pexpand
 
-    src_r = src.reshape(nchunks, chunk)
-    st_r = st_all.reshape(nchunks, chunk)
-    res_r = resolved0.reshape(nchunks, chunk)
-    bases = jnp.arange(nchunks, dtype=jnp.int32) * chunk
-    _, out = jax.lax.scan(chunk_step, jnp.zeros(_WIN, jnp.int32),
-                          (st_r, src_r, res_r, bases))
-    out = out.reshape(-1)
-    return jnp.where(j < n, out, 0).astype(jnp.uint8)
+    recs = jax.vmap(lambda c, sb, so: _parse(c, sb, so, span))(
+        comp.astype(jnp.int32), sync_bit, sync_out)
+    acc = _ownership_batch(recs, out_cap)
+    out, status = pexpand.expand(acc, n)
+    return out.astype(jnp.uint8), status
 
 
 def make_decoder_sync(in_cap: int, out_cap: int, *,
                       span: int = enc.SYNC_SPAN):
-    """Jitted batch decoder over container blocks with sync records."""
-    fn = functools.partial(decode_block_sync, out_cap=out_cap,
-                           span=span)
-    return jax.jit(jax.vmap(fn))
+    """Jitted batch decoder over container blocks with sync records.
+
+    Returns bytes only (see decode_batch_sync for the status variant).
+    """
+    del in_cap
+
+    def fn(comp, sync_bit, sync_out, n):
+        return decode_batch_sync(comp, sync_bit, sync_out, n,
+                                 out_cap=out_cap, span=span)[0]
+
+    return fn
