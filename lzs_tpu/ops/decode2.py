@@ -196,9 +196,17 @@ def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
 def _ownership_batch(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
     """Batched _ownership: recs int32[B, S, L] -> int32[B, out_cap].
 
-    The two merge sorts run through pcand._row_sort so every lax.sort
-    call stays VMEM-resident (<= 16 MB) — a single vmapped sort at the
-    bench shape costs ~36 ms vs ~7 ms split.
+    Returns compact per-byte entries for the expansion kernel:
+    (is_start << 12) | (is_copy << 11) | pay, where is_start marks the
+    first byte of the covering parse record (the expansion kernel
+    reconstructs the record start with a carried scan — records cover
+    <= 98 bytes). is_start == is_copy == 0 means no record covers the
+    byte. The compact form keeps the extraction a SINGLE-operand packed
+    sort ((j << 13) | entry, 28 bits) — a 2-operand payload sort costs
+    ~2x more (15.3 vs 7.9 ms at the bench shape).
+
+    Both merge sorts run through pcand._row_sort so every lax.sort call
+    stays VMEM-resident (<= 16 MB).
     """
     from .pcand import _row_sort
 
@@ -214,13 +222,22 @@ def _ownership_batch(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
     # have unique positions and a distinct tag bit) -> unstable sort is
     # safe and ~4x cheaper on TPU
     v = _row_sort(merged, rows1)
-    is_tok = (v < _BIG) & ((v >> 12) & 1 == 0)
+    is_byte = ((v >> 12) & 1) == 1
+    is_tok = (v < _BIG) & ~is_byte
     acc = jax.lax.cummax(jnp.where(is_tok, v, -1), axis=1)
-    back_key = jnp.where((v >> 12) & 1 == 1, v >> 13, _BIG)
-    # byte entries have unique back_key; the shared-_BIG tail is sliced
-    # off below, so its internal order is irrelevant -> unstable is safe
-    _, per_byte = _row_sort((back_key, acc), rows1, num_keys=1)
-    return per_byte[:, :out_cap]
+    # a record at opos j sorts immediately before byte j, so the byte's
+    # slot predecessor tells whether its covering record starts here
+    prev = jnp.concatenate([jnp.full((b, 1), _BIG, jnp.int32),
+                            v[:, :-1]], axis=1)
+    myj = v >> 13
+    is_start = (((prev >> 12) & 1) == 0) & (prev >> 13 == myj) \
+        & (prev < _BIG)
+    entry = jnp.where(acc >= 0,
+                      (is_start.astype(jnp.int32) << 12)
+                      | (acc & 0xFFF), 0)
+    back_key = jnp.where(is_byte, (myj << 13) | entry, _BIG)
+    per_byte = _row_sort(back_key, rows1)
+    return per_byte[:, :out_cap] & 0x1FFF
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "span", "chunk"))

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _CHUNK = 128                  # bytes per chunk step (one lane row)
 _WIN = 2048                   # carried window capacity (>= WINDOW_SIZE)
-_BLKS = 8                     # blocks per program (sublane dim)
+_BLKS = 32                    # blocks per program (sublane dim)
 _ROUNDS = 6                   # in-chunk doubling rounds (2^6 = chunk/2)
 
 
@@ -56,7 +56,7 @@ def _win_gather(win_ref, widx: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def _expand_kernel(acc_ref, n_ref, out_ref, st_ref, win_ref):
+def _expand_kernel(acc_ref, seg_ref, n_ref, out_ref, st_ref, win_ref):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -64,21 +64,26 @@ def _expand_kernel(acc_ref, n_ref, out_ref, st_ref, win_ref):
         win_ref[:] = jnp.zeros_like(win_ref)
         st_ref[:] = jnp.zeros_like(st_ref)
 
-    acc = acc_ref[:, 0, :]                               # (BLKS, CHUNK)
+    acc = acc_ref[0]                                     # (BLKS, CHUNK)
+    seg_start = seg_ref[0]
     nb = n_ref[:]                                        # (BLKS, 1)
     base = c * _CHUNK
     j = jax.lax.broadcasted_iota(jnp.int32, acc.shape, 1) + base
 
-    # parse records cover <= 98 bytes each (a token head or one
-    # NIBBLES_PER_STEP nibble group), so src >= j - 97 - 2047 is always
-    # within the carried window when it precedes the chunk
-    seg_start = acc >> 13
+    # compact entries: (is_start << 12) | (is_copy << 11) | pay; the
+    # covering record's start comes precomputed (one XLA cummax over
+    # the start flags). Parse records cover <= 98 bytes each (a token
+    # head or one NIBBLES_PER_STEP nibble group), so src >= j - 97 -
+    # 2047 is always within the carried window when it precedes the
+    # chunk.
     is_copy = ((acc >> 11) & 1) == 1
+    is_start = ((acc >> 12) & 1) == 1
     pay = acc & 0x7FF
+    none = (~is_start) & (~is_copy)
+
     d = jnp.maximum(pay, 1)
     src = seg_start - d + jax.lax.rem(j - seg_start, d)
-    is_lit = (~is_copy) & (acc >= 0)
-    none = acc < 0
+    is_lit = (~is_copy) & is_start & (~none)
 
     val = jnp.where(is_lit, pay, 0)
     res = is_lit | none
@@ -106,44 +111,49 @@ def _expand_kernel(acc_ref, n_ref, out_ref, st_ref, win_ref):
         res = res | take
         p = jnp.where(res, p, gp)
 
-    out_ref[:, 0, :] = jnp.where(j < nb, val, 0)
+    out_ref[0] = jnp.where(j < nb, val, 0)
     st_ref[:, 0] = (st_ref[:, 0]
                     | jnp.any(bad_cov, axis=1).astype(jnp.int32)
                     | (jnp.any(bad_src, axis=1).astype(jnp.int32) << 1))
 
     # slide the circular window
-    win_ref[:, pl.ds(base % _WIN, _CHUNK)] = val
+    win_ref[:, pl.ds(pl.multiple_of(base % _WIN, _CHUNK), _CHUNK)] = val
 
 
 def expand(acc: jnp.ndarray, n: jnp.ndarray):
     """Expand per-byte token records into bytes.
 
-    acc: int32[B, N] covering-token records (-1 where none);
+    acc: int32[B, N] compact per-byte entries from
+    decode2._ownership_batch: (is_start << 12) | (is_copy << 11) | pay,
+    zero where no record covers the byte.
     n: int32[B] true lengths. Returns (out int32[B, N], status int32[B]).
     """
     b, npos = acc.shape
     assert npos % _CHUNK == 0
     nchunks = npos // _CHUNK
     blks = _BLKS if b % _BLKS == 0 else b
-    acc3 = acc.reshape(b, nchunks, _CHUNK)
+    j = jnp.arange(npos, dtype=jnp.int32)[None, :]
+    seg = jax.lax.cummax(
+        jnp.where(((acc >> 12) & 1) == 1, j, -1), axis=1)
+    # chunk dim leads so the per-step block keeps Mosaic-legal trailing
+    # dims (blks, _CHUNK)
+    acc3 = jnp.swapaxes(acc.reshape(b, nchunks, _CHUNK), 0, 1)
+    seg3 = jnp.swapaxes(seg.reshape(b, nchunks, _CHUNK), 0, 1)
 
+    tile_spec = pl.BlockSpec((1, blks, _CHUNK), lambda i, c: (c, i, 0),
+                             memory_space=pltpu.VMEM)
+    col_spec = pl.BlockSpec((blks, 1), lambda i, c: (i, 0),
+                            memory_space=pltpu.VMEM)
     out, status = pl.pallas_call(
         _expand_kernel,
         grid=(b // blks, nchunks),
-        in_specs=[
-            pl.BlockSpec((blks, 1, _CHUNK), lambda i, c: (i, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blks, 1), lambda i, c: (i, 0),
-                         memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((blks, 1, _CHUNK), lambda i, c: (i, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((blks, 1), lambda i, c: (i, 0),
-                         memory_space=pltpu.VMEM)],
+        in_specs=[tile_spec, tile_spec, col_spec],
+        out_specs=[tile_spec, col_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((b, nchunks, _CHUNK), jnp.int32),
+            jax.ShapeDtypeStruct((nchunks, b, _CHUNK), jnp.int32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((blks, _WIN), jnp.int32)],
         interpret=_interpret(),
-    )(acc3, n[:, None])
-    return out.reshape(b, npos), status[:, 0]
+    )(acc3, seg3, n[:, None])
+    out = jnp.swapaxes(out, 0, 1).reshape(b, npos)
+    return out, status[:, 0]

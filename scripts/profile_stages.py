@@ -138,14 +138,20 @@ def main() -> None:
               compi, sbit, sout)
     recs = jax.jit(vparse)(compi, sbit, sout)
 
-    vown = jax.vmap(lambda r: dec2._ownership(r, args.block))
     if on("own"):
-        timed("dec: ownership", lambda r: vown(r), recs)
+        timed("dec: ownership",
+              lambda r: dec2._ownership_batch(r, args.block), recs)
+    acc = jax.jit(
+        lambda r: dec2._ownership_batch(r, args.block))(recs)
 
-    vdec = jax.vmap(lambda c, b, o, n: dec2.decode_block_sync(
-        c, b, o, n, out_cap=args.block))
+    if on("expand"):
+        from lzs_tpu.ops import pexpand
+        timed("dec: expand", lambda a, n: pexpand.expand(a, n), acc, lens)
+
     if on("decode"):
-        timed("dec: decode_sync(all)", lambda c, b, o, n: vdec(c, b, o, n),
+        timed("dec: decode_batch_sync",
+              lambda c, b, o, n: dec2.decode_batch_sync(
+                  c.astype(jnp.uint8), b, o, n, out_cap=args.block),
               compi, sbit, sout, lens)
 
 
