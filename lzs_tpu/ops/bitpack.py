@@ -56,44 +56,88 @@ def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int):
       (bytes: uint8[cap_bytes], total_bits: int32 scalar,
        offs: int32[M] exclusive bit offsets)
     """
+    out, total_bits, offs = pack_bits_batch(value[None], width[None],
+                                            cap_bytes)
+    return out[0], total_bits[0], offs[0]
+
+
+def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
+                    cap_bytes: int):
+    """Batched pack_bits: int32[B, M] value/width -> uint8[B, cap_bytes].
+
+    Stages: (1) compact real units (width > 0) to the row front with ONE
+    packed 2-operand sort — offsets are the cumsum of compacted widths,
+    identical to the uncompacted cumsum since zero-width units add 0;
+    (2) anchor-word grouping: after compaction a 32-bit word hosts at
+    most 10 units (the narrowest is a 4-bit nibble), so the segmented
+    suffix-OR needs 4 log-step rounds instead of 15; (3) one 3-operand
+    compaction sort delivers the per-word heads to dense word slots.
+    Every sort is row-split to stay VMEM-resident (pcand._row_sort).
+    """
+    from .pcand import _row_sort
+
     assert cap_bytes % 4 == 0
     cap_words = cap_bytes // 4
-    m = value.shape[0]
-    offs = jnp.cumsum(width) - width          # exclusive prefix sum
-    total_bits = (offs[-1] + width[-1]) if m else jnp.int32(0)
+    b, m = value.shape
+    pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (b, m))
+    key = jnp.where(width > 0, pos, _BIG)
+    payload = (value << 5) | width
+    rows = max(8, ((16 << 20) // (8 * m)) & ~7)
+    _, pay_c = _row_sort((key, payload), rows, num_keys=1)
+    w_c = pay_c & 31
+    v_c = (pay_c >> 5).astype(jnp.uint32)
 
-    w0 = offs >> 5
-    end = (offs & 31) + width                 # bit end within 64-bit window
-    v = value.astype(jnp.uint32)
+    offs_c = jnp.cumsum(w_c, axis=1) - w_c
+    total_bits = offs_c[:, -1] + w_c[:, -1]
+
+    w0 = offs_c >> 5
+    end = (offs_c & 31) + w_c             # bit end within 64-bit window
     hi = jnp.where(end <= 32,
-                   v << jnp.clip(32 - end, 0, 31),
-                   v >> jnp.clip(end - 32, 0, 31))
+                   v_c << jnp.clip(32 - end, 0, 31).astype(jnp.uint32),
+                   v_c >> jnp.clip(end - 32, 0, 31).astype(jnp.uint32))
     lo = jnp.where(end <= 32, jnp.uint32(0),
-                   v << jnp.clip(64 - end, 0, 31))
-    hi = jnp.where(width > 0, hi, 0).astype(jnp.int32)
-    lo = jnp.where(width > 0, lo, 0).astype(jnp.int32)
+                   v_c << jnp.clip(64 - end, 0, 31).astype(jnp.uint32))
+    hi = jnp.where(w_c > 0, hi, 0).astype(jnp.int32)
+    lo = jnp.where(w_c > 0, lo, 0).astype(jnp.int32)
 
-    # group by anchor word, OR each group into its head
-    hi_acc = _seg_suffix_or(w0, hi)
-    lo_acc = _seg_suffix_or(w0, lo)
-    head = jnp.concatenate([jnp.ones(1, jnp.bool_), w0[1:] != w0[:-1]])
+    # group by anchor word, OR each group into its head; groups hold
+    # <= 10 units after compaction, so 4 rounds (shifts 1, 2, 4, 8)
+    hi_acc, lo_acc = hi, lo
+    for sh in (1, 2, 4, 8):
+        z = jnp.zeros((b, sh), jnp.int32)
+        same = jnp.concatenate([w0[:, sh:] == w0[:, :-sh],
+                                jnp.zeros((b, sh), jnp.bool_)], axis=1)
+        hi_s = jnp.concatenate([hi_acc[:, sh:], z], axis=1)
+        lo_s = jnp.concatenate([lo_acc[:, sh:], z], axis=1)
+        hi_acc = jnp.where(same, hi_acc | hi_s, hi_acc)
+        lo_acc = jnp.where(same, lo_acc | lo_s, lo_acc)
 
-    # compact heads (already in word order) to the dense word array
-    key = jnp.where(head, w0, _BIG)
-    if m < cap_words:                          # ensure >= cap_words entries
+    head = jnp.concatenate(
+        [jnp.ones((b, 1), jnp.bool_), w0[:, 1:] != w0[:, :-1]], axis=1)
+    head = head & (w_c > 0)
+    key2 = jnp.where(head, w0, _BIG)
+    if m < cap_words:                     # ensure >= cap_words entries
         pad = cap_words - m
-        key = jnp.concatenate([key, jnp.full(pad, _BIG, jnp.int32)])
-        hi_acc = jnp.concatenate([hi_acc, jnp.zeros(pad, jnp.int32)])
-        lo_acc = jnp.concatenate([lo_acc, jnp.zeros(pad, jnp.int32)])
-    _, hi_d, lo_d = jax.lax.sort((key, hi_acc, lo_acc), dimension=0,
-                                 num_keys=1, is_stable=False)
-    hi_d = hi_d[:cap_words]
-    lo_d = lo_d[:cap_words]
+        key2 = jnp.concatenate(
+            [key2, jnp.full((b, pad), _BIG, jnp.int32)], axis=1)
+        hi_acc = jnp.concatenate(
+            [hi_acc, jnp.zeros((b, pad), jnp.int32)], axis=1)
+        lo_acc = jnp.concatenate(
+            [lo_acc, jnp.zeros((b, pad), jnp.int32)], axis=1)
+    rows2 = max(8, ((16 << 20) // (12 * key2.shape[1])) & ~7)
+    _, hi_d, lo_d = _row_sort((key2, hi_acc, lo_acc), rows2, num_keys=1)
+    hi_d = hi_d[:, :cap_words]
+    lo_d = lo_d[:, :cap_words]
 
-    nwords = (total_bits + 31) >> 5
-    valid = jnp.arange(cap_words, dtype=jnp.int32) < nwords
-    lo_prev = jnp.concatenate([jnp.zeros(1, jnp.int32), lo_d[:-1]])
+    nwords = ((total_bits + 31) >> 5)[:, None]
+    valid = jnp.arange(cap_words, dtype=jnp.int32)[None, :] < nwords
+    lo_prev = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), lo_d[:, :-1]], axis=1)
     words = jnp.where(valid, hi_d | lo_prev, 0)
+
+    # uncompacted exclusive offsets (sync records index by position):
+    # cumsum over the original widths
+    offs = jnp.cumsum(width, axis=1) - width
     return words_to_bytes(words), total_bits, offs
 
 

@@ -74,8 +74,8 @@ def _pipeline_batch(x, n, window, cap, chunk, backend):
     width = jnp.concatenate(
         [width, jnp.full((nb, 1), spec.END_MARKER_BITS, jnp.int32)],
         axis=1)
-    comp, total_bits, offs = jax.vmap(
-        lambda v, w: bitpack.pack_bits(v, w, cap_bytes(npos)))(value, width)
+    comp, total_bits, offs = bitpack.pack_bits_batch(
+        value, width, cap_bytes(npos))
     nbytes = (total_bits + 7) >> 3
     return comp, nbytes, total_bits, offs, width, starts, off
 
@@ -159,21 +159,23 @@ def encode_batch_sync(x: jnp.ndarray, n: jnp.ndarray, *,
     assert span % 32 == 0 and span > MAX_STEP_BITS
     comp, nbytes, total_bits, offs, width, starts, off = _pipeline_batch(
         x, n, window, cap, chunk, backend)
-    sync_bit, sync_out, nsync = jax.vmap(
-        lambda tb, of, wd, st, o, nn: _sync_records(
-            tb, of, wd, st, o, nn, span))(
-        total_bits, offs, width, starts, off, n)
+    sync_bit, sync_out, nsync = _sync_records_batch(
+        total_bits, offs, width, starts, off, n, span)
     return comp, nbytes, sync_bit, sync_out, nsync
 
 
-def _sync_records(total_bits, offs, width, starts, off, n, span):
-    npos = starts.shape[0]
-    i = jnp.arange(npos, dtype=jnp.int32)
+def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
+    from .pcand import _row_sort
+
+    b, npos = starts.shape
+    i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
+                         (b, npos))
     # parse steps: a token head is one step; every NIBBLES_PER_STEP
     # extension nibbles are one step (decode2 consumes nibble runs)
-    is_nib = (~starts) & (width[:npos] == 4)
+    is_nib = (~starts) & (width[:, :npos] == 4)
     okey = jax.lax.cummax(
-        jnp.where(starts, (i << 12) | jnp.minimum(off, 0xFFF), -1))
+        jnp.where(starts, (i << 12) | jnp.minimum(off, 0xFFF), -1),
+        axis=1)
     owner_i = okey >> 12
     owner_off = okey & 0xFFF
     t = i - owner_i - 1
@@ -194,24 +196,24 @@ def _sync_records(total_bits, offs, width, starts, off, n, span):
     # in position, so compacting them to dense slots is a single sort
     # (XLA scatters serialize on TPU; sorts stream).
     end_bits = total_bits - spec.END_MARKER_BITS
-    o = offs[:npos]
+    o = offs[:, :npos]
     so = jnp.where(is_step, o, jnp.int32(0x3FFFFFFF))
-    nso = jnp.flip(jax.lax.cummin(jnp.flip(so)))
-    next_o = jnp.concatenate([nso[1:], end_bits[None]])
+    nso = jax.lax.cummin(so, axis=1, reverse=True)
+    next_o = jnp.concatenate([nso[:, 1:], end_bits[:, None]], axis=1)
     c = next_o // span
     cross = is_step & (o // span < c)
     nslots = sync_slots(npos, span)
     key = jnp.where(cross, c, jnp.int32(0x3FFFFFFF))
-    _, bit_s, rec_s = jax.lax.sort((key, o, rec), dimension=0, num_keys=1,
-                                   is_stable=False)
-    built_bit = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 bit_s[:nslots - 1]])
-    built_rec = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                 rec_s[:nslots - 1]])
+    rows = max(8, ((16 << 20) // (12 * npos)) & ~7)
+    _, bit_s, rec_s = _row_sort((key, o, rec), rows, num_keys=1)
+    zero = jnp.zeros((b, 1), jnp.int32)
+    built_bit = jnp.concatenate([zero, bit_s[:, :nslots - 1]], axis=1)
+    built_rec = jnp.concatenate([zero, rec_s[:, :nslots - 1]], axis=1)
     nsync = (end_bits + span - 1) // span
-    slot = jnp.arange(nslots, dtype=jnp.int32)
-    sync_bit = jnp.where(slot < nsync, built_bit, end_bits)
-    sync_out = jnp.where(slot < nsync, built_rec, n)
+    slot = jnp.arange(nslots, dtype=jnp.int32)[None, :]
+    sync_bit = jnp.where(slot < nsync[:, None], built_bit,
+                         end_bits[:, None])
+    sync_out = jnp.where(slot < nsync[:, None], built_rec, n[:, None])
     return sync_bit, sync_out, nsync
 
 

@@ -46,7 +46,8 @@ def _roll_cummax(v: jnp.ndarray) -> jnp.ndarray:
     return v
 
 
-def _keys_kernel(k, plcp_ref, p_ref, out_ref):
+def _keys_kernel(k_ref, plcp_ref, p_ref, out_ref):
+    k = k_ref[0]
     plcp = plcp_ref[:]                               # (ROWS, N)
     rows, npos = plcp.shape
     r = jax.lax.broadcasted_iota(jnp.int32, (rows, npos), 1)
@@ -65,8 +66,9 @@ def _back_kernel(window, skey_ref, out_ref):
     out_ref[:] = (mypos << 16) | (cand + 1)
 
 
-def _acc_kernel(k, back_ref, n_ref, pk_ref, out_ref):
+def _acc_kernel(k_ref, back_ref, n_ref, pk_ref, out_ref):
     """Fold level k's back-sorted plane into the packed running max."""
+    k = k_ref[0]
     back = back_ref[:]                               # (ROWS, N)
     rows, npos = back.shape
     i = jax.lax.broadcasted_iota(jnp.int32, (rows, npos), 1)
@@ -127,16 +129,21 @@ def perk_candidates(plcp: jnp.ndarray, p: jnp.ndarray, n: jnp.ndarray, *,
                          memory_space=pltpu.VMEM)
     nspec = pl.BlockSpec((rb, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    ncol = n[:, None]
 
-    pk = jnp.full((b, npos), -1, jnp.int32)
-    for k in range(kmin, kmax + 1):
+    # one lax.scan over the k levels: the body compiles ONCE (the
+    # unrolled form costs ~25 s of XLA compile for 11 levels); k reaches
+    # the kernels as a scalar SMEM operand
+    def level(pk, k):
+        karr = k[None]
         keys = pl.pallas_call(
-            functools.partial(_keys_kernel, k),
+            _keys_kernel,
             grid=(b // rb,),
-            in_specs=[spec2] * 2, out_specs=spec2,
+            in_specs=[kspec, spec2, spec2], out_specs=spec2,
             out_shape=jax.ShapeDtypeStruct((b, npos), jnp.int32),
             interpret=interp,
-        )(plcp, p)
+        )(karr, plcp, p)
         skey = _row_sort(keys, rows_per_call)
         back_keys = pl.pallas_call(
             functools.partial(_back_kernel, window),
@@ -150,12 +157,17 @@ def perk_candidates(plcp: jnp.ndarray, p: jnp.ndarray, n: jnp.ndarray, *,
         # accumulator measured 7 ms SLOWER over the 11 levels (the
         # alias forces XLA into extra copies/scheduling stalls here)
         pk = pl.pallas_call(
-            functools.partial(_acc_kernel, k),
+            _acc_kernel,
             grid=(b // rb,),
-            in_specs=[spec2, nspec, spec2], out_specs=spec2,
+            in_specs=[kspec, spec2, nspec, spec2], out_specs=spec2,
             out_shape=jax.ShapeDtypeStruct((b, npos), jnp.int32),
             interpret=interp,
-        )(back, n[:, None], pk)
+        )(karr, back, ncol, pk)
+        return pk, None
+
+    pk0 = jnp.full((b, npos), -1, jnp.int32)
+    kv = jnp.arange(kmin, kmax + 1, dtype=jnp.int32)
+    pk, _ = jax.lax.scan(level, pk0, kv)
 
     hitk = pk >= 0
     score = jnp.where(hitk, pk >> 16, 0)

@@ -390,12 +390,169 @@ def best_matches_batch(x: jnp.ndarray, n: jnp.ndarray, *,
                        window: int = spec.WINDOW_SIZE,
                        cap: int = spec.SEARCH_MATCH_MAX):
     """Batched best_matches: int32[B, N] x, int32[B] n -> (score, off,
-    full) int32[B, N] each. Candidates come from the chunked-sort path
-    (candidates_batch); the run-end/probe extension is vmapped."""
+    full) int32[B, N] each. Candidates come from the split-sort path
+    (candidates_batch); the run-end/probe extension is batch-level
+    (_extend_batch) with Pallas big-table gathers for the probe spans."""
     x = x.astype(jnp.int32)
     score, off = candidates_batch(x, n, window=window, cap=cap)
-    full = jax.vmap(functools.partial(_extend, cap=cap))(x, n, score, off)
+    if jax.default_backend() == "tpu":
+        full = _extend_batch(x, n, score, off, cap)
+    else:
+        full = jax.vmap(functools.partial(_extend, cap=cap))(
+            x, n, score, off)
     return score, off, full
+
+
+def _extend_batch(x, n, score, off, cap):
+    """Batched _extend: run-end pinning + Pallas-gather probes.
+
+    Same result as ``jax.vmap(_extend)``; see _extend for the run-end
+    argument. The probe tier fetches its compare spans with
+    pgather.gather_big instead of MXU one-hot contractions.
+    """
+    b, npos = x.shape
+    i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
+                         (b, npos))
+    nq = n[:, None]
+    capped = (score >= cap) & (i + cap < nq)
+    full = score
+
+    prev_c = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.bool_), capped[:, :-1]], axis=1)
+    prev_o = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.int32), off[:, :-1]], axis=1)
+    head = capped & (~prev_c | (off != prev_o))
+
+    brk = head | ~capped
+    is_cap_score = score >= cap
+    binfo = jnp.where(brk,
+                      (i << 13) | (is_cap_score.astype(jnp.int32) << 12)
+                      | jnp.clip(off, 0, 0x7FF),
+                      _BIG)
+    rcm = jax.lax.cummin(binfo, axis=1, reverse=True)
+    nxt1 = jnp.concatenate(
+        [rcm[:, 1:], jnp.full((b, 1), _BIG, jnp.int32)], axis=1)
+    has_brk = nxt1 < _BIG
+    e = jnp.where(has_brk, nxt1 >> 13, npos)
+    steal = has_brk & (((nxt1 >> 12) & 1) == 1) & ((nxt1 & 0x7FF) < off)
+    need_probe = head & ((e + cap >= nq) | steal)
+    ext_res = e - i - 1
+    ext_p = _probe_batch(x, n, off, need_probe, cap)
+    ext_h = jnp.where(need_probe, ext_p, ext_res)
+
+    pk = jax.lax.cummax(
+        jnp.where(head, (i << 16) | jnp.minimum(cap + ext_h, 0xFFFF), -1),
+        axis=1)
+    hfull = pk & 0xFFFF
+    hpos = pk >> 16
+    return jnp.where(capped, hfull - (i - hpos), full)
+
+
+def _probe_batch(x, n, doff, active, cap):
+    """Exact run extension at probe positions, batched.
+
+    For active positions i: length of the maximal run of
+    x[i + cap + t] == x[i + cap + t - doff] (t >= 0). Waves of
+    _PROBE_CAP compacted lanes; tier-1 compares 52-byte spans fetched
+    with pgather.gather_big; runs past the span close per distinct
+    offset with diagonal-run columns (vmapped while loop, as _probe_
+    extension). Results return to their positions by probe rank — a
+    cumsum plus one small-table gather, no scatter.
+    """
+    from .pgather import gather_big
+
+    b, npos = x.shape
+    p = min(_PROBE_CAP, npos)
+    nwords = (npos // 4 + _T1_WORDS + 2 + 127) & ~127
+    xe = jnp.concatenate(
+        [x, jnp.zeros((b, nwords * 4 - npos), jnp.int32)], axis=1
+    ).reshape(b, nwords, 4)
+    words = ((xe[..., 0] << 24) | (xe[..., 1] << 16)
+             | (xe[..., 2] << 8) | xe[..., 3])
+    i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
+                         (b, npos))
+    nq = n[:, None]
+    nt = _T1_WORDS + 1
+
+    from .pcand import _row_sort
+    rows = max(8, ((16 << 20) // (4 * npos)) & ~7)
+
+    def aligned(w14, a):
+        """w14 (B, P, nt) raw words; a byte positions -> (B, P, 13)
+        byte-aligned big-endian words of x[a..]."""
+        sh = ((a & 3) * 8).astype(jnp.uint32)[:, :, None]
+        hi = w14[:, :, :-1].astype(jnp.uint32)
+        lo = w14[:, :, 1:].astype(jnp.uint32)
+        return jnp.where(sh == 0, hi, (hi << sh) | (lo >> (32 - sh)))
+
+    def wave(state):
+        remaining, ln = state
+        packed = jnp.where(remaining,
+                           (i << 11) | jnp.minimum(doff, 0x7FF), _BIG)
+        srt = _row_sort(packed, rows)[:, :p]
+        lanes = srt < _BIG
+        sidx = jnp.where(lanes, srt >> 11, 0)
+        cdoff = jnp.maximum(srt & 0x7FF, 1)
+        cbase = sidx + cap
+        a = jnp.clip(cbase, 0, npos - 1)
+        bpos = a - jnp.minimum(cdoff, a)
+
+        # one fused span fetch for both sides (2 * nt words per lane)
+        tt = jnp.arange(nt, dtype=jnp.int32)[None, None, :]
+        idx = jnp.concatenate(
+            [(a[:, :, None] >> 2) + tt, (bpos[:, :, None] >> 2) + tt],
+            axis=2).reshape(b, p * 2 * nt)
+        got = gather_big(words, idx).reshape(b, p, 2 * nt)
+        aw = aligned(got[:, :, :nt], a)
+        bw = aligned(got[:, :, nt:], bpos)
+
+        xor = (aw ^ bw).astype(jnp.uint32)
+        lew = jnp.where(xor == 0, 32, jax.lax.clz(xor)).astype(
+            jnp.int32) >> 3
+        opn = jnp.concatenate(
+            [jnp.ones((b, p, 1), jnp.bool_),
+             jax.lax.cummin(lew, axis=2)[:, :, :-1] >= 4], axis=2)
+        ext = jnp.sum(jnp.where(opn, lew, 0), axis=2)
+        full_span = ext >= 4 * _T1_WORDS
+        ext = jnp.minimum(ext, jnp.maximum(nq - cbase, 0))
+        cln = jnp.where(lanes, ext, 0)
+        act = lanes & full_span & (cbase + ext < nq)
+
+        # tier 2: close long runs by distinct offset (per-block columns)
+        def t2_block(act2, cln2, cdoff2, cbase2, xb, nb):
+            jb = jnp.arange(npos, dtype=jnp.int32)
+
+            def t2_body(state2):
+                a2, c2 = state2
+                d0 = jnp.min(jnp.where(a2, cdoff2, _BIG))
+                prev = jnp.where(jb >= d0, jnp.roll(xb, d0), -1)
+                eq = (xb == prev) & (jb < nb)
+                mm = jnp.where(eq, _BIG, jb)
+                rm = jax.lax.cummin(mm, reverse=True)
+                col = jnp.maximum(jnp.minimum(rm, nb) - jb, 0)
+                mine = a2 & (cdoff2 == d0)
+                c2 = jnp.where(mine,
+                               col[jnp.clip(cbase2, 0, npos - 1)], c2)
+                return a2 & ~mine, c2
+
+            return jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body,
+                                      (act2, cln2))[1]
+
+        cln = jax.vmap(t2_block)(act, cln, cdoff, cbase, x, n)
+
+        # deliver by probe rank: active position r-th in index order
+        # reads wave slot r (the compaction is index-ordered)
+        rank = jnp.cumsum(remaining.astype(jnp.int32), axis=1) - 1
+        vals = gather_big(cln, jnp.clip(rank, 0, p - 1))
+        take = remaining & (rank < p)
+        ln = jnp.where(take, vals, ln)
+        remaining = remaining & ~take
+        return remaining, ln
+
+    _, length = jax.lax.while_loop(
+        lambda s: jnp.any(s[0]), wave,
+        (active, jnp.zeros((b, npos), jnp.int32)))
+    return length
 
 
 def _extend(x, n, score, off, cap):

@@ -85,9 +85,9 @@ def main() -> None:
               lambda a, b: sortmatch.candidates_batch(a, b), x, lens)
     score, off = jax.jit(sortmatch.candidates_batch)(x, lens)
 
-    vext = jax.vmap(lambda a, b, s, o: sortmatch._extend(a, b, s, o, 12))
     if on("ext"):
-        timed("enc: extension", lambda a, b, s, o: vext(a, b, s, o),
+        timed("enc: extension",
+              lambda a, b, s, o: sortmatch._extend_batch(a, b, s, o, 12),
               x, lens, score, off)
 
     if on("match"):
@@ -116,9 +116,10 @@ def main() -> None:
     value, width, starts, length = jax.jit(vem)(x, lens, score2, off2, full2)
 
     cap_b = enc_ops.cap_bytes(args.block)
-    vpk = jax.vmap(lambda v, w: bitpack.pack_bits(v, w, cap_b))
     if on("pack"):
-        timed("enc: pack_bits", lambda v, w: vpk(v, w), value, width)
+        timed("enc: pack_bits",
+              lambda v, w: bitpack.pack_bits_batch(v, w, cap_b),
+              value, width)
 
     if on("encode"):
         timed("enc: encode_batch", lambda a, b: enc_ops.encode_batch(a, b),
