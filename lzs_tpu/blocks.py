@@ -10,18 +10,22 @@ Two output formats:
 
   raw        pure concatenated LZS streams. Reference-CLI compatible; decode
              in parallel only if block lengths are known out-of-band.
-  container  (version 3) a header carrying block size, per-block compressed
-             lengths, and parse sync records — parser-state checkpoints at
-             the last parse point before every multiple of ``span``
-             compressed bits — enabling gather-free lane-parallel decode
-             (ops.decode2). The payload remains the raw concatenation,
-             still decodable by the reference decoder.
+  container  (version 4) a header carrying block size, per-block compressed
+             lengths, an adler32 payload checksum, and parse sync records
+             — parser-state checkpoints at the last parse point before
+             every multiple of ``span`` compressed bits — enabling
+             gather-free lane-parallel decode (ops.decode2). The payload
+             remains the raw concatenation, still decodable by the
+             reference decoder. Decoding validates the checksum, the
+             per-lane parse boundaries, and per-block expansion status
+             words, raising ValueError on corruption.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import struct
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -32,9 +36,9 @@ from .ops import decode2 as dec2_ops
 from .ops import encode as enc_ops
 
 MAGIC = b"LZST"
-VERSION = 3
+VERSION = 4
 DEFAULT_BLOCK = 1 << 15
-_HDR = "<4sBBHIIQ"
+_HDR = "<4sBBHIIQI"
 
 
 def pad_blocks(data: bytes, block: int) -> tuple[np.ndarray, np.ndarray]:
@@ -93,6 +97,13 @@ class BlockCodec:
         """Sync-parallel batch decode -> uint8[B, block]."""
         return self._dec_sync(comp, sync_bit, sync_out, n)
 
+    def decode_batch_status(self, comp, sync_bit, sync_out, n):
+        """Sync-parallel batch decode with per-block status words
+        (decode2.decode_batch_sync docstring lists the bits)."""
+        return dec2_ops.decode_batch_sync(
+            comp, sync_bit, sync_out, n, out_cap=self.block,
+            span=self.span)
+
     def decode_batch_raw(self, comp: jnp.ndarray, nbytes: jnp.ndarray):
         """Metadata-free batch decode (scan decoder; reference semantics)."""
         if self._dec_raw is None:
@@ -122,8 +133,9 @@ class BlockCodec:
                                  axis=1).astype(np.uint32))
         recs_np = (np.concatenate(recs) if recs
                    else np.zeros((0, 2), np.uint32))
+        crc = zlib.adler32(payload) & 0xFFFFFFFF
         header = struct.pack(_HDR, MAGIC, VERSION, 0, self.span,
-                             self.block, len(clens_np), len(data))
+                             self.block, len(clens_np), len(data), crc)
         return (header + clens_np.tobytes() + nsync_np.tobytes()
                 + endbits.tobytes() + recs_np.tobytes() + payload)
 
@@ -141,8 +153,8 @@ class BlockCodec:
             raise ValueError("container truncated: header incomplete")
         if blob[:4] != MAGIC:
             raise ValueError("not a container stream; use raw decode")
-        magic, ver, _f, span, block, nblocks, orig = struct.unpack_from(
-            _HDR, blob)
+        magic, ver, _f, span, block, nblocks, orig, crc = \
+            struct.unpack_from(_HDR, blob)
         if ver != VERSION:
             raise ValueError(f"unsupported container version {ver}")
         if block != self.block or span != self.span:
@@ -179,6 +191,8 @@ class BlockCodec:
         payload = np.frombuffer(blob, np.uint8, offset=pos)
         if len(payload) < clens.sum():
             raise ValueError("container truncated in payload")
+        if zlib.adler32(payload.tobytes()) & 0xFFFFFFFF != crc:
+            raise ValueError("payload checksum mismatch")
         clens = clens.astype(np.int32)
         nsync = nsync.astype(np.int32)
         if (recs < 0).any() or (
@@ -203,8 +217,15 @@ class BlockCodec:
             sbit[b, k:] = endbits[b]
             sout[b, k:] = lens[b]
             r += k
-        out = self.decode_batch(jnp.asarray(comp), jnp.asarray(sbit),
-                                jnp.asarray(sout), jnp.asarray(lens))
+        out, status = self.decode_batch_status(
+            jnp.asarray(comp), jnp.asarray(sbit), jnp.asarray(sout),
+            jnp.asarray(lens))
+        status_np = np.asarray(status)
+        if status_np.any():
+            bad = np.nonzero(status_np)[0]
+            raise ValueError(
+                f"decode integrity failure in block(s) {bad.tolist()} "
+                f"(status {[int(status_np[i]) for i in bad]})")
         out = np.asarray(out)
         parts = [out[b, :lens[b]].tobytes() for b in range(nblocks)]
         result = b"".join(parts)

@@ -133,8 +133,8 @@ def _parse_substep(w, bitpos, outpos, mode, cur_off, can):
     return rec, bitpos, outpos, mode, cur_off
 
 
-def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
-           span: int) -> jnp.ndarray:
+def _parse_full(comp: jnp.ndarray, sync_bit: jnp.ndarray,
+                sync_out: jnp.ndarray, span: int):
     """Lane-parallel token parse of one block's stream.
 
     comp: uint8[C]; sync_bit: int32[L] record bit offsets (slot l is the
@@ -142,9 +142,12 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
     sync_out: int32[L] packed records — output offset (bits 0..16) |
     mode (bit 17) | current match offset (bits 18..28).
 
-    Returns int32[(wpl + 2) * _SUBSTEPS, L] packed token records in step
-    order (lane-major transpose gives records sorted by output position):
-    opos << 12 | is_copy << 11 | payload, or -1 for empty slots.
+    Returns (recs, out_final): recs int32[(wpl + 2) * _SUBSTEPS, L]
+    packed token records in step order (lane-major transpose gives
+    records sorted by output position): opos << 12 | is_copy << 11 |
+    payload, or -1 for empty slots; out_final int32[L] is each lane's
+    final output position (an integrity signal: it must equal the next
+    lane's starting offset).
     """
     nslots = sync_bit.shape[0]
     wpl = span // 32
@@ -177,8 +180,14 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
     init = (zero, zero, sync_bit, sync_out & 0x1FFFF,
             (sync_out >> 17) & 1, sync_out >> 18)
     steps = jnp.arange(wpl + 2, dtype=jnp.int32)
-    _, recs = jax.lax.scan(step, init, (tile.T, steps))
-    return recs.reshape((wpl + 2) * _SUBSTEPS, nslots)
+    state, recs = jax.lax.scan(step, init, (tile.T, steps))
+    return recs.reshape((wpl + 2) * _SUBSTEPS, nslots), state[3]
+
+
+def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
+           span: int) -> jnp.ndarray:
+    """Lane-parallel token parse; records only (see _parse_full)."""
+    return _parse_full(comp, sync_bit, sync_out, span)[0]
 
 
 def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
@@ -276,15 +285,26 @@ def decode_batch_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
     bitmask in the spirit of LzsDecompressStatus_t (lzs.h:170-178):
       bit 0  a byte inside [0, n) had no covering token
       bit 1  a copy source fell before the block start (zero-filled)
+      bit 2  a parse lane's final output position disagrees with the
+             next lane's sync record (corrupt stream or records)
     0 means the block decoded cleanly.
     """
     del chunk
     from . import pexpand
 
-    recs = jax.vmap(lambda c, sb, so: _parse(c, sb, so, span))(
+    recs, out_final = jax.vmap(
+        lambda c, sb, so: _parse_full(c, sb, so, span))(
         comp.astype(jnp.int32), sync_bit, sync_out)
     acc = _ownership_batch(recs, out_cap)
     out, status = pexpand.expand(acc, n)
+
+    # lane-boundary integrity: lane l parses bits [sync_bit[l],
+    # sync_bit[l+1]) and must land exactly on lane l+1's output offset;
+    # the last active lane (and every sentinel) must land on n
+    nxt = jnp.concatenate(
+        [sync_out[:, 1:] & 0x1FFFF, n[:, None]], axis=1)
+    bad = jnp.any(out_final != nxt, axis=1)
+    status = status | (bad.astype(jnp.int32) << 2)
     return out.astype(jnp.uint8), status
 
 

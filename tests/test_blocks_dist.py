@@ -135,6 +135,30 @@ def test_container_fuzz_rejects_malformed(codec):
             pass
 
 
+def test_container_corruption_is_flagged(codec):
+    """Payload and sync-record corruption must be FLAGGED (ValueError
+    from the adler32 checksum, the per-lane parse-boundary check, or the
+    per-block expansion status word), or decode to the exact original
+    when the mutation is semantically harmless — never silent garbage.
+    This is the container-level analogue of the reference's status-flag
+    discipline (LzsDecompressStatus_t, lzs.h:170-178)."""
+    data = make_corpus(9000, seed=21)
+    blob = codec.compress(data)
+    rng = random.Random(7)
+    hdr_end = 24 + 4 * 3 * 1 + 8 * 10   # header + index-ish region
+    for _ in range(60):
+        pos = rng.randrange(28, len(blob))
+        mut = bytearray(blob)
+        mut[pos] ^= 1 << rng.randrange(8)
+        try:
+            out = codec.decompress(bytes(mut))
+        except ValueError:
+            continue
+        assert out == data, (
+            f"silent corruption at byte {pos} (region "
+            f"{'index' if pos < hdr_end else 'payload'})")
+
+
 def test_container_wrong_magic_and_version(codec):
     data = make_corpus(3000, seed=14)
     blob = codec.compress(data)
