@@ -107,20 +107,12 @@ def _rank_lcp(words: list[jnp.ndarray], cap: int) -> jnp.ndarray:
 
 def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
                window: int = spec.WINDOW_SIZE,
-               cap: int = spec.SEARCH_MATCH_MAX,
-               stacked: bool = False):
-    """Per-position greedy (score, off) for one block.
+               cap: int = spec.SEARCH_MATCH_MAX):
+    """Per-position greedy (score, off) for one block (the oracle form;
+    the TPU fast path is candidates_batch).
 
     x: int32[N] byte values (zeros past ``n``); N <= 32768.
     Returns (score, off): int32[N] each (off = 0 where no match).
-
-    ``stacked`` runs every k level through two k-batched sorts (one kernel
-    launch each) instead of a Python loop of 2 sorts per k; both forms
-    compute identical results. Measured on v5e the loop form wins (45.8 ms
-    vs 114.6 ms at the 256 x 32768 bench shape — batched sorts pay for
-    their data movement; the launches they save were already cheap), so
-    the loop is the default and ``stacked`` is kept as the measured-worse
-    alternative.
     """
     npos = x.shape[0]
     assert npos <= 1 << 15, "match search supports blocks up to 32768"
@@ -138,33 +130,6 @@ def candidates(x: jnp.ndarray, n: jnp.ndarray, *,
     swords, p = list(out[:nwords]), out[-1]
     plcp = _rank_lcp(swords, cap)
     r = jnp.arange(npos, dtype=jnp.int32)
-
-    if stacked:
-        kv = jnp.arange(spec.MIN_MATCH, cap + 1, dtype=jnp.int32)  # (K,)
-        nk = kv.shape[0]
-        segs = jax.lax.cummax(
-            jnp.where(plcp[None, :] < kv[:, None], r[None, :], 0), axis=1)
-        packed = (segs << 15) | p[None, :]
-        skey = jax.lax.sort(packed, dimension=1, is_stable=False)
-        prev = jnp.concatenate(
-            [jnp.full((nk, 1), -1, jnp.int32), skey[:, :-1]], axis=1)
-        mypos = skey & 0x7FFF
-        prevpos = prev & 0x7FFF
-        same = (skey >> 15) == (prev >> 15)
-        cand = jnp.where(same & (mypos - prevpos <= window), prevpos, -1)
-        back = jax.lax.sort((mypos << 16) | (cand + 1), dimension=1,
-                            is_stable=False)
-        cand_k = (back & 0xFFFF) - 1                 # (K, N), position order
-        valid = (cand_k >= 0) & (i[None, :] + kv[:, None] <= n)
-        # one packed max over k: high bits = k (largest wins), low bits =
-        # 4096 - off so ties in k resolve to the NEAREST offset
-        pk = jnp.max(jnp.where(valid,
-                               (kv[:, None] << 16)
-                               | (4096 - (i[None, :] - cand_k)), -1), axis=0)
-        hit = pk >= 0
-        score = jnp.where(hit, pk >> 16, 0)
-        off = jnp.where(hit, 4096 - (pk & 0xFFFF), 0)
-        return score, off
 
     score = jnp.zeros(npos, jnp.int32)
     off = jnp.zeros(npos, jnp.int32)

@@ -82,3 +82,42 @@ def test_candidates_batch_small_block_fallback():
                                                  jnp.asarray(n)))
     np.testing.assert_array_equal(gs, ws)
     np.testing.assert_array_equal(go, wo)
+
+
+def test_exhaustive_backend_matches_sort_backend():
+    """C5 pinning: the brute-force windowed-compare kernel (ops.match,
+    the analogue of lzs_simple_compress's O(N*W) scan,
+    lzs-compression-simple.c:266-278) must agree with the sort-based
+    search at every position, and encode_block(backend="exhaustive")
+    must emit identical bytes."""
+    from lzs_tpu.ops import match
+    from lzs_tpu.ops.encode import encode_block
+
+    rng = np.random.default_rng(23)
+    npos = 2048
+    for seed in range(3):
+        r = np.random.default_rng(seed)
+        x = _mixed_corpus(r, npos)
+        n = npos - int(r.integers(0, 64))
+        x[n:] = 0
+        sj, nj = jnp.asarray(x), jnp.int32(n)
+        es, eo, ef = map(np.asarray, match.best_matches(sj, nj))
+        ss, so, sf = map(np.asarray, sortmatch.best_matches(sj, nj))
+        # scores below MIN_MATCH are "no match" — the kernels encode
+        # them differently (0 vs degenerate 1-byte runs) and emission
+        # ignores both, so normalize before comparing
+        em, sm = es >= 2, ss >= 2
+        np.testing.assert_array_equal(em, sm)
+        np.testing.assert_array_equal(np.where(em, es, 0),
+                                      np.where(sm, ss, 0))
+        np.testing.assert_array_equal(np.where(em, eo, 0),
+                                      np.where(sm, so, 0))
+        np.testing.assert_array_equal(np.where(em, ef, 0),
+                                      np.where(sm, sf, 0))
+
+    x = _mixed_corpus(rng, npos)
+    sj, nj = jnp.asarray(x), jnp.int32(npos)
+    ce, ne = encode_block(sj, nj, backend="exhaustive")
+    cs, ns = encode_block(sj, nj, backend="sort")
+    assert int(ne) == int(ns)
+    np.testing.assert_array_equal(np.asarray(ce), np.asarray(cs))
