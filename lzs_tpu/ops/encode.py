@@ -55,7 +55,7 @@ def sync_scan_len(span: int = SYNC_SPAN) -> int:
     return -(-(span + MAX_STEP_BITS) // MIN_STEP_BITS) + 1
 
 
-def _pipeline_batch(x, n, window, cap, chunk, backend):
+def _pipeline_batch(x, n, window, cap, chunk, backend, policy="greedy"):
     """Batched encode pipeline: x int32[B, N], n int32[B]."""
     x = x.astype(jnp.int32)
     nb, npos = x.shape
@@ -66,6 +66,22 @@ def _pipeline_batch(x, n, window, cap, chunk, backend):
         score, off, full = jax.vmap(
             lambda a, b: match.best_matches(
                 a, b, window=window, cap=cap, chunk=min(chunk, 256)))(x, n)
+    if policy == "lazy":
+        # 1-token-lookahead (lazy) selection: defer a match when the
+        # next position holds a strictly longer one — emit a literal
+        # instead (the gzip-style improvement over the C encoder's pure
+        # greedy policy, lzs-compression.c:326-362). Streams stay valid
+        # LZS; byte-parity with the C encoder is a greedy-only property.
+        is_m = score >= spec.MIN_MATCH
+        nxt_m = jnp.concatenate(
+            [is_m[:, 1:], jnp.zeros((nb, 1), jnp.bool_)], axis=1)
+        nxt_full = jnp.concatenate(
+            [full[:, 1:], jnp.zeros((nb, 1), jnp.int32)], axis=1)
+        defer = is_m & nxt_m & (nxt_full > full)
+        score = jnp.where(defer, 0, score)
+        full = jnp.where(defer, 1, full)
+    else:
+        assert policy == "greedy", policy
     value, width, starts, length = jax.vmap(tokenize.emission_units)(
         x, n, score, off, full)
     value = jnp.concatenate(
@@ -80,12 +96,14 @@ def _pipeline_batch(x, n, window, cap, chunk, backend):
     return comp, nbytes, total_bits, offs, width, starts, off
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("window", "cap", "chunk", "backend"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("window", "cap", "chunk", "backend", "policy"))
 def encode_block(x: jnp.ndarray, n: jnp.ndarray, *,
                  window: int = spec.WINDOW_SIZE,
                  cap: int = spec.SEARCH_MATCH_MAX,
-                 chunk: int = 4096, backend: str = "sort"):
+                 chunk: int = 4096, backend: str = "sort",
+                 policy: str = "greedy"):
     """Encode one block.
 
     Args:
@@ -99,19 +117,24 @@ def encode_block(x: jnp.ndarray, n: jnp.ndarray, *,
       end marker and zero padding to a byte boundary.
     """
     comp, nbytes = _pipeline_batch(x[None], n[None], window, cap, chunk,
-                                   backend)[:2]
+                                   backend, policy)[:2]
     return comp[0], nbytes[0]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "cap", "chunk", "backend"))
+    jax.jit,
+    static_argnames=("window", "cap", "chunk", "backend", "policy"))
 def encode_batch(x: jnp.ndarray, n: jnp.ndarray, *,
                  window: int = spec.WINDOW_SIZE,
                  cap: int = spec.SEARCH_MATCH_MAX,
-                 chunk: int = 4096, backend: str = "sort"):
+                 chunk: int = 4096, backend: str = "sort",
+                 policy: str = "greedy"):
     """Batched encode_block: (uint8[B, N], int32[B]) ->
-    (uint8[B, cap_bytes(N)], int32[B])."""
-    comp, nbytes = _pipeline_batch(x, n, window, cap, chunk, backend)[:2]
+    (uint8[B, cap_bytes(N)], int32[B]). ``policy`` is "greedy"
+    (reference byte parity) or "lazy" (1-token lookahead, usually
+    smaller output; still a valid LZS stream)."""
+    comp, nbytes = _pipeline_batch(x, n, window, cap, chunk, backend,
+                                   policy)[:2]
     return comp, nbytes
 
 
@@ -147,18 +170,19 @@ def encode_block_sync(x: jnp.ndarray, n: jnp.ndarray, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("window", "cap", "chunk", "backend", "span"))
+    jax.jit, static_argnames=("window", "cap", "chunk", "backend", "span",
+                              "policy"))
 def encode_batch_sync(x: jnp.ndarray, n: jnp.ndarray, *,
                       window: int = spec.WINDOW_SIZE,
                       cap: int = spec.SEARCH_MATCH_MAX,
                       chunk: int = 4096, backend: str = "sort",
-                      span: int = SYNC_SPAN):
+                      span: int = SYNC_SPAN, policy: str = "greedy"):
     """Batched encode_block_sync (see its docstring for the record
     contract): (uint8[B, N], int32[B]) -> (comp, nbytes, sync_bit,
     sync_out, nsync) with a leading batch axis on every output."""
     assert span % 32 == 0 and span > MAX_STEP_BITS
     comp, nbytes, total_bits, offs, width, starts, off = _pipeline_batch(
-        x, n, window, cap, chunk, backend)
+        x, n, window, cap, chunk, backend, policy)
     sync_bit, sync_out, nsync = _sync_records_batch(
         total_bits, offs, width, starts, off, n, span)
     return comp, nbytes, sync_bit, sync_out, nsync

@@ -128,9 +128,17 @@ def expand(acc: jnp.ndarray, n: jnp.ndarray):
     zero where no record covers the byte.
     n: int32[B] true lengths. Returns (out int32[B, N], status int32[B]).
     """
-    b, npos = acc.shape
+    b0, npos = acc.shape
     assert npos % _CHUNK == 0
     nchunks = npos // _CHUNK
+    # Mosaic's dynamic-gather lowering wants full (8, 128) tiles; pad
+    # small batches up to the sublane count
+    if b0 % 8 != 0:
+        pad = 8 - b0 % 8
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((pad, npos), acc.dtype)], axis=0)
+        n = jnp.concatenate([n, jnp.zeros(pad, n.dtype)])
+    b = acc.shape[0]
     blks = _BLKS if b % _BLKS == 0 else b
     j = jnp.arange(npos, dtype=jnp.int32)[None, :]
     seg = jax.lax.cummax(
@@ -156,4 +164,4 @@ def expand(acc: jnp.ndarray, n: jnp.ndarray):
         interpret=_interpret(),
     )(acc3, seg3, n[:, None])
     out = jnp.swapaxes(out, 0, 1).reshape(b, npos)
-    return out, status[:, 0]
+    return out[:b0], status[:b0, 0]

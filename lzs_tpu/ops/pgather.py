@@ -50,8 +50,18 @@ def gather_big(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     q = idx.shape[1]
     assert w % 128 == 0 and q % 128 == 0, (w, q)
     idx = jnp.clip(idx, 0, w - 1)
-    blks = _BLKS if b % _BLKS == 0 else b
-    qb = 128 if q % 128 == 0 else q
+    # Mosaic's dynamic-gather lowering wants full (8, 128) tiles; pad
+    # small batches up to the sublane count
+    b0 = b
+    if b % _BLKS != 0:
+        pad = _BLKS - b % _BLKS
+        tab = jnp.concatenate(
+            [tab, jnp.zeros((pad, w), tab.dtype)], axis=0)
+        idx = jnp.concatenate(
+            [idx, jnp.zeros((pad, q), idx.dtype)], axis=0)
+        b += pad
+    blks = _BLKS
+    qb = 128
 
     return pl.pallas_call(
         _gather_kernel,
@@ -65,4 +75,4 @@ def gather_big(tab: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, q), jnp.int32),
         interpret=_interpret(),
-    )(tab, idx)
+    )(tab, idx)[:b0]

@@ -204,3 +204,36 @@ def test_output_capacity_clamp():
 def test_cross_reference_c(ref_driver, name, data):
     assert jax_encode(data) == ref_driver("c", data)
     assert ref_driver("d", jax_encode(data)) == data
+
+
+def test_lazy_policy_roundtrip_and_size():
+    """BASELINE config 2: the lazy (1-token lookahead) policy must emit
+    valid LZS streams (decoded by the reference-semantics scan decoder)
+    and compress at least as well as greedy on standard-ish corpora
+    (the reference's own sources)."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from lzs_tpu.ops import decode as dec_ops
+    from lzs_tpu.ops import encode as enc_ops
+
+    srcs = [pathlib.Path("/root/reference/python/lzs.py"),
+            pathlib.Path("/root/reference/c/src/liblzs/lzs.h")]
+    datas = [p.read_bytes() for p in srcs if p.exists()]
+    datas.append(b"lorem ipsum dolor sit amet " * 300)
+    block = 8192
+    for data in datas:
+        data = data[:block]
+        x = np.zeros(block, np.uint8)
+        x[:len(data)] = np.frombuffer(data, np.uint8)
+        xj, nj = jnp.asarray(x), jnp.int32(len(data))
+        cg, ng = enc_ops.encode_block(xj, nj)
+        cl, nl = enc_ops.encode_block(xj, nj, policy="lazy")
+        assert int(nl) <= int(ng), (int(nl), int(ng))
+        # lazy stream decodes bit-exactly with reference semantics
+        out, out_len, _ = dec_ops.decode_block(
+            jnp.asarray(np.asarray(cl)), jnp.int32(int(nl)),
+            out_cap=block)
+        assert int(out_len) == len(data)
+        assert np.asarray(out)[:len(data)].tobytes() == data
