@@ -113,8 +113,9 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=1 << 23)
     ap.add_argument("--block", type=int, default=1 << 15)
     ap.add_argument("--reps", type=int, default=4)
-    ap.add_argument("--raw", action="store_true",
+    ap.add_argument("--raw", action="store_true", default=True,
                     help="also measure the raw (reference-stream) path")
+    ap.add_argument("--no-raw", dest="raw", action="store_false")
     ap.add_argument("--verify", action="store_true", default=True)
     ap.add_argument("--no-verify", dest="verify", action="store_false")
     args = ap.parse_args()

@@ -55,6 +55,42 @@ def _compress(args) -> int:
     return 0
 
 
+def _decompress_raw_device(data: bytes):
+    """Decode a raw (reference-format) stream chain on the device.
+
+    Uses the scan decoder (ops.decode) with multi_stream semantics and a
+    geometric output-capacity retry under the reference's 16x expansion
+    bound (lzs.h:79-81); sizes are bucketed to powers of two so repeat
+    invocations reuse compiled programs. Returns None to fall back to
+    the host stream decoder (e.g. no usable accelerator).
+    """
+    if not data:
+        return b""
+    try:
+        import numpy as np
+        import jax.numpy as jnp
+
+        from .ops import decode as dec_ops
+
+        n = len(data)
+        in_cap = 1 << max(9, (n - 1).bit_length())
+        buf = np.zeros(in_cap, np.uint8)
+        buf[:n] = np.frombuffer(data, np.uint8)
+        comp = jnp.asarray(buf)
+        max_units = in_cap * 2 + 16
+        cap = 1 << max(12, (4 * n - 1).bit_length())
+        while cap <= max(16 * n, 1 << 12):
+            out, out_len, _ = dec_ops.decode_block(
+                comp, jnp.int32(n), out_cap=cap, max_units=max_units,
+                multi_stream=True)
+            if int(out_len) < cap:
+                return np.asarray(out)[:int(out_len)].tobytes()
+            cap *= 2
+        return None
+    except Exception:  # noqa: BLE001 — any backend failure: host fallback
+        return None
+
+
 def _decompress(args) -> int:
     data = open(args.infile, "rb").read()
     if args.container or data[:4] == b"LZST":
@@ -64,8 +100,10 @@ def _decompress(args) -> int:
         span = struct.unpack_from("<H", data, 6)[0]
         out = BlockCodec(block=block, span=span).decompress(data)
     else:
-        from .stream import decompress_stream
-        out = decompress_stream(data)
+        out = _decompress_raw_device(data)
+        if out is None:
+            from .stream import decompress_stream
+            out = decompress_stream(data)
     open(args.outfile, "wb").write(out)
     if args.verbose:
         print(f"{len(data)} -> {len(out)} bytes", file=sys.stderr)

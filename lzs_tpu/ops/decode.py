@@ -40,23 +40,13 @@ def default_max_units(out_cap: int) -> int:
     return out_cap + out_cap // 2 + 8
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("out_cap", "max_units", "multi_stream"))
-def decode_block(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
-                 out_cap: int, max_units: int | None = None,
-                 multi_stream: bool = False):
-    """Decode one LZS stream.
+def _parse_scan(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
+                out_cap: int, max_units: int | None = None,
+                multi_stream: bool = False):
+    """Bit-serial parse of one LZS stream (the sequential core).
 
-    Args:
-      comp: uint8[C] compressed bytes (zero padding beyond ``inbytes`` ok).
-      inbytes: int32 scalar, valid input length.
-      out_cap: static output capacity in bytes.
-      max_units: static parse-step budget (default scales with out_cap).
-      multi_stream: continue across end markers (incremental semantics,
-        lzs-decompression.c:559-576) instead of stopping at the first one.
-
-    Returns:
-      (out: uint8[out_cap], out_len: int32, end_markers: int32)
+    Returns per-unit arrays (kind, val, off, length, opos) plus
+    (out_len, end_markers); kind 0 = none, 1 = literal, 2 = copy.
     """
     if max_units is None:
         max_units = default_max_units(out_cap)
@@ -126,37 +116,66 @@ def decode_block(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
             jnp.int32(0), jnp.bool_(False))
     (bitpos, _, _, out_len, markers, _), units = jax.lax.scan(
         step, init, None, length=max_units)
-    kind, val, off, length, opos = units
+    return units + (out_len, markers)
 
-    # --- stage 2: copy expansion by pointer doubling ---
-    j = jnp.arange(out_cap, dtype=jnp.int32)
-    # owner unit per output byte
-    head = jnp.full(out_cap, -1, jnp.int32)
-    head = head.at[jnp.where(length > 0, opos, out_cap)].max(
-        jnp.arange(max_units, dtype=jnp.int32), mode="drop")
-    owner = jax.lax.cummax(head)
-    safe_owner = jnp.clip(owner, 0)
-    o_kind = jnp.where(owner >= 0, kind[safe_owner], 0)
-    o_off = off[safe_owner]
-    lit_val = jnp.where(o_kind == 1, val[safe_owner], 0)
-    ptr = jnp.where(o_kind == 1, j,
-                    jnp.where(o_kind == 2, j - o_off, -1))
-    ptr = jnp.where(ptr < -1, -1, ptr)
-    rounds = max(1, out_cap.bit_length())
-    for _ in range(rounds):
-        ptr = jnp.where(ptr < 0, -1, ptr[jnp.clip(ptr, 0)])
-    out = jnp.where((ptr >= 0) & (j < out_len), lit_val[jnp.clip(ptr, 0)],
-                    0).astype(jnp.uint8)
-    return out, out_len, markers
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_cap", "max_units", "multi_stream"))
+def decode_batch(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
+                 out_cap: int, max_units: int | None = None,
+                 multi_stream: bool = False):
+    """Batched decode_block: (uint8[B, C], int32[B]) ->
+    (uint8[B, out_cap], int32[B], int32[B]).
+
+    The bit-serial parse scan vectorizes across blocks; the parse units
+    then flow through the same batched expansion as the container path
+    (decode2._ownership_batch merge + pexpand Pallas kernel) — the old
+    per-block pointer-doubling used log2(N) serialized XLA gathers.
+    """
+    from . import decode2, pexpand
+
+    kind, val, off, length, opos, out_len, markers = jax.vmap(
+        lambda c, m: _parse_scan(c, m, out_cap=out_cap,
+                                 max_units=max_units,
+                                 multi_stream=multi_stream))(comp, inbytes)
+    is_copy = (kind == 2).astype(jnp.int32)
+    pay = jnp.where(kind == 1, val, off)
+    rec = jnp.where(length > 0,
+                    (opos << 13) | (is_copy << 11) | pay, -1)
+    acc = decode2._ownership_batch(rec[:, :, None], out_cap)
+    out, _ = pexpand.expand(acc, out_len)
+    return out.astype(jnp.uint8), out_len, markers
+
+
+def decode_block(comp, inbytes, *, out_cap, max_units=None,
+                 multi_stream=False):
+    """Decode one LZS stream.
+
+    Args:
+      comp: uint8[C] compressed bytes (zero padding beyond ``inbytes`` ok).
+      inbytes: int32 scalar, valid input length.
+      out_cap: static output capacity in bytes.
+      max_units: static parse-step budget (default scales with out_cap).
+      multi_stream: continue across end markers (incremental semantics,
+        lzs-decompression.c:559-576) instead of stopping at the first one.
+
+    Returns:
+      (out: uint8[out_cap], out_len: int32, end_markers: int32)
+    """
+    out, out_len, markers = decode_batch(
+        comp[None], inbytes[None], out_cap=out_cap, max_units=max_units,
+        multi_stream=multi_stream)
+    return out[0], out_len[0], markers[0]
 
 
 def make_decoder(in_cap: int, out_cap: int, *, max_units: int | None = None,
                  multi_stream: bool = False):
     """Jitted batch decoder: (uint8[B, in_cap], int32[B]) ->
     (uint8[B, out_cap], int32[B], int32[B])."""
-    fn = functools.partial(decode_block, out_cap=out_cap,
-                           max_units=max_units, multi_stream=multi_stream)
-    return jax.jit(jax.vmap(fn))
+    del in_cap
+    return functools.partial(decode_batch, out_cap=out_cap,
+                             max_units=max_units,
+                             multi_stream=multi_stream)
 
 
 def decode_bytes(data: bytes, out_cap: int, *,

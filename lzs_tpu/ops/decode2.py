@@ -50,7 +50,7 @@ from . import encode as enc
 _CHUNK = 256          # expansion chunk (bytes per scan step)
 _WIN = 2048           # carried window capacity (>= WINDOW_SIZE)
 _SUBSTEPS = 4         # tokens parseable per fed 32-bit word (see docstring)
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = 0x3FFFFFFF    # plain int: jnp scalars become captured jaxpr consts
 
 
 def _lane_tiles(comp: jnp.ndarray, nslots: int, span: int) -> jnp.ndarray:

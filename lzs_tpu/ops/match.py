@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .. import spec
 
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = 0x3FFFFFFF    # plain int: jnp scalars become captured jaxpr consts
 
 
 def _chunk_scores(x: jnp.ndarray, n: jnp.ndarray, d0: int, dc: int,

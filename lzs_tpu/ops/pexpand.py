@@ -128,8 +128,12 @@ def expand(acc: jnp.ndarray, n: jnp.ndarray):
     zero where no record covers the byte.
     n: int32[B] true lengths. Returns (out int32[B, N], status int32[B]).
     """
-    b0, npos = acc.shape
-    assert npos % _CHUNK == 0
+    b0, npos0 = acc.shape
+    if npos0 % _CHUNK != 0:
+        acc = jnp.concatenate(
+            [acc, jnp.zeros((b0, _CHUNK - npos0 % _CHUNK), acc.dtype)],
+            axis=1)
+    npos = acc.shape[1]
     nchunks = npos // _CHUNK
     # Mosaic's dynamic-gather lowering wants full (8, 128) tiles; pad
     # small batches up to the sublane count
@@ -164,4 +168,4 @@ def expand(acc: jnp.ndarray, n: jnp.ndarray):
         interpret=_interpret(),
     )(acc3, seg3, n[:, None])
     out = jnp.swapaxes(out, 0, 1).reshape(b, npos)
-    return out[:b0], status[:b0, 0]
+    return out[:b0, :npos0], status[:b0, 0]

@@ -60,7 +60,7 @@ import jax.numpy as jnp
 from .. import spec
 
 _DIAG = 16                             # diagonals with exact run tables
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = 0x3FFFFFFF    # plain int: jnp scalars become captured jaxpr consts
 
 
 def _shift(x: jnp.ndarray, s: int) -> jnp.ndarray:

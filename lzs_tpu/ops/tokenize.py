@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from .. import spec
 
 _TILE = 128
-_BIG = jnp.int32(0x3FFFFFFF)
+_BIG = 0x3FFFFFFF    # plain int: jnp scalars become captured jaxpr consts
 
 
 def _tile_gather(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
