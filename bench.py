@@ -228,9 +228,9 @@ def _run(args, record) -> None:
         print("round-trip: OK", file=sys.stderr)
 
     if args.raw:
-        raw_enc = jax.vmap(lambda a, b: enc_ops.encode_block(a, b))
+        raw_enc = enc_ops.encode_batch
         raw_enc_s, _ = timed(lambda a, b: raw_enc(a, b), x, lens)
-        rcomp, rlens = retry(lambda: jax.jit(raw_enc)(x, lens), label="raw")
+        rcomp, rlens = retry(lambda: raw_enc(x, lens), label="raw")
         raw_dec_s, _ = timed(
             lambda c, m: codec.decode_batch_raw(c.astype(jnp.uint8), m),
             rcomp.astype(jnp.int32), rlens)

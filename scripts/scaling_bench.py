@@ -28,8 +28,8 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--per-dev-blocks", type=int, default=8)
-    ap.add_argument("--block", type=int, default=1 << 13)
+    ap.add_argument("--per-dev-blocks", type=int, default=32)
+    ap.add_argument("--block", type=int, default=1 << 15)
     ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
@@ -43,6 +43,8 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from lzs_tpu.parallel import dist
+    from lzs_tpu.ops import decode2 as dec2_ops
+    from lzs_tpu.ops import encode as enc_ops
 
     rng = np.random.default_rng(5)
     rows = []
@@ -55,6 +57,24 @@ def main() -> None:
         enc = dist.encode_sharded(mesh, args.block, chunk=1024)
         dec = dist.decode_sharded(mesh, args.block)
 
+        # no-collective variant: same local pipelines, results left
+        # sharded (out_specs=P(axis)) — the wall difference is the
+        # all-gather share of the step
+        from jax import shard_map
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        enc_local = enc_ops.make_encoder(args.block, chunk=1024, sync=True)
+        dec_local = dec2_ops.make_decoder_sync(
+            enc_ops.cap_bytes(args.block), args.block)
+        in_s = NamedSharding(mesh, P(dist.AXIS))
+        enc_ng = jax.jit(shard_map(
+            lambda a, b: enc_local(a, b), mesh=mesh,
+            in_specs=(P(dist.AXIS),) * 2, out_specs=P(dist.AXIS),
+            check_vma=False))
+        dec_ng = jax.jit(shard_map(
+            lambda c, sb, so, m: dec_local(c, sb, so, m), mesh=mesh,
+            in_specs=(P(dist.AXIS),) * 4, out_specs=P(dist.AXIS),
+            check_vma=False))
+
         def run():
             comp, clens, sbit, sout, nsync = enc(jnp.asarray(x),
                                                  jnp.asarray(n))
@@ -62,18 +82,37 @@ def main() -> None:
             jax.block_until_ready(out)
             return out
 
+        def run_ng():
+            xs = jax.device_put(jnp.asarray(x), in_s)
+            ns = jax.device_put(jnp.asarray(n), in_s)
+            comp, clens, sbit, sout, nsync = enc_ng(xs, ns)
+            out = dec_ng(comp, sbit, sout, ns)
+            jax.block_until_ready(out)
+            return out
+
         out = run()                                   # compile + correctness
         assert bytes(np.asarray(out)[0]) == bytes(x[0])
+        run_ng()
         best = float("inf")
+        best_ng = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
             run()
             best = min(best, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_ng()
+            best_ng = min(best_ng, time.perf_counter() - t0)
+        share = max(0.0, (best - best_ng) / best)
         rows.append({"devices": ndev, "blocks": nblocks,
                      "bytes": int(nblocks * args.block),
-                     "wall_s": round(best, 4)})
-        print(f"{ndev} devices: {nblocks} blocks, {best*1e3:.1f} ms",
-              file=sys.stderr)
+                     "per_device_bytes": int(args.per_dev_blocks
+                                             * args.block),
+                     "wall_s": round(best, 4),
+                     "wall_no_gather_s": round(best_ng, 4),
+                     "collective_share": round(share, 3)})
+        print(f"{ndev} devices: {nblocks} blocks, {best*1e3:.1f} ms "
+              f"(no-gather {best_ng*1e3:.1f} ms, collective share "
+              f"{share:.1%})", file=sys.stderr)
 
     ncores = os.cpu_count() or 1
     t1 = rows[0]["wall_s"]
