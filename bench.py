@@ -120,16 +120,19 @@ def main() -> None:
     ap.add_argument("--no-verify", dest="verify", action="store_false")
     args = ap.parse_args()
 
+    import glob
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/lzs_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _cache_warm = bool(glob.glob("/tmp/lzs_jax_cache/*"))
 
     # The scoreboard record: filled in progressively so that an exception
     # at ANY point still emits one valid JSON line (a transient backend
     # error nulled the entire round-2 record).
     record = {"metric": "lzs_roundtrip_throughput", "value": 0.0,
-              "unit": "GB/s", "vs_baseline": 0.0}
+              "unit": "GB/s", "vs_baseline": 0.0,
+              "compile_cache": "warm" if _cache_warm else "cold"}
     try:
         _run(args, record)
     except Exception as e:  # noqa: BLE001
@@ -162,17 +165,24 @@ def _run(args, record) -> None:
     reps = args.reps
 
     def timed(fn, *fnargs):
-        """Chained-reps timing; fn(arg0 ^ bit, *rest) -> pytree."""
+        """Chained-reps timing; fn(arg0 ^ bit, *rest) -> pytree.
+
+        The reps run as a lax.scan so the pipeline body compiles ONCE
+        (a Python loop inlines it ``reps`` times — most of the old
+        compile_s was that amplification); the carry-dependent XOR
+        still forces sequential execution.
+        """
         @jax.jit
         def run(a0, *rest):
-            acc = jnp.int32(0)
-            for _ in range(reps):
+            def body(acc, _):
                 out = fn(jnp.bitwise_xor(a0, (acc & 1).astype(a0.dtype)),
                          *rest)
                 # consume EVERY leaf fully — consuming a single element
                 # lets XLA slice-propagate whole stages away
                 for leaf in jax.tree_util.tree_leaves(out):
                     acc = acc + jnp.sum(leaf.astype(jnp.int32))
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=reps)
             return acc
 
         t0 = time.perf_counter()

@@ -79,13 +79,22 @@ def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
     assert cap_bytes % 4 == 0
     cap_words = cap_bytes // 4
     b, m = value.shape
+    assert m <= (1 << 16) and cap_words <= (1 << 14)
     pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (b, m))
-    key = jnp.where(width > 0, pos, _BIG)
-    payload = (value << 5) | width
-    rows = max(8, ((16 << 20) // (8 * m)) & ~7)
-    _, pay_c = _row_sort((key, payload), rows, num_keys=1)
-    w_c = pay_c & 31
-    v_c = (pay_c >> 5).astype(jnp.uint32)
+    rows = max(8, ((16 << 20) // (4 * m)) & ~7)
+    # compaction as two parallel packed single-operand sorts: both keys
+    # share the unique (invalid, pos) prefix so their orders coincide,
+    # and 1-op sorts compile ~7x faster than multi-operand comparators
+    # (2 s vs 14 s) at similar runtime
+    inv = (width <= 0).astype(jnp.uint32) << 31
+    posu = pos.astype(jnp.uint32) << 15
+    vu = value.astype(jnp.uint32)
+    key_a = inv | posu | (width.astype(jnp.uint32) << 10) | (vu >> 15)
+    key_b = inv | posu | (vu & 0x7FFF)
+    sa = _row_sort(key_a, rows)
+    sb = _row_sort(key_b, rows)
+    w_c = ((sa >> 10) & 31).astype(jnp.int32)
+    v_c = ((sa & 0x3FF) << 15) | (sb & 0x7FFF)
 
     offs_c = jnp.cumsum(w_c, axis=1) - w_c
     total_bits = offs_c[:, -1] + w_c[:, -1]
@@ -115,19 +124,21 @@ def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
     head = jnp.concatenate(
         [jnp.ones((b, 1), jnp.bool_), w0[:, 1:] != w0[:, :-1]], axis=1)
     head = head & (w_c > 0)
-    key2 = jnp.where(head, w0, _BIG)
+    # head compaction as four parallel packed 1-op sorts (same
+    # compile-time rationale as above); anchor words are unique per head
+    inv2 = (~head).astype(jnp.uint32) << 31
+    w0u = inv2 | (w0.astype(jnp.uint32) << 16)
+    hiu = hi_acc.astype(jnp.uint32)
+    lou = lo_acc.astype(jnp.uint32)
+    quads = [w0u | (hiu >> 16), w0u | (hiu & 0xFFFF),
+             w0u | (lou >> 16), w0u | (lou & 0xFFFF)]
     if m < cap_words:                     # ensure >= cap_words entries
-        pad = cap_words - m
-        key2 = jnp.concatenate(
-            [key2, jnp.full((b, pad), _BIG, jnp.int32)], axis=1)
-        hi_acc = jnp.concatenate(
-            [hi_acc, jnp.zeros((b, pad), jnp.int32)], axis=1)
-        lo_acc = jnp.concatenate(
-            [lo_acc, jnp.zeros((b, pad), jnp.int32)], axis=1)
-    rows2 = max(8, ((16 << 20) // (12 * key2.shape[1])) & ~7)
-    _, hi_d, lo_d = _row_sort((key2, hi_acc, lo_acc), rows2, num_keys=1)
-    hi_d = hi_d[:, :cap_words]
-    lo_d = lo_d[:, :cap_words]
+        pad = jnp.full((b, cap_words - m), 0xFFFFFFFF, jnp.uint32)
+        quads = [jnp.concatenate([q, pad], axis=1) for q in quads]
+    rows2 = max(8, ((16 << 20) // (4 * quads[0].shape[1])) & ~7)
+    s = [_row_sort(q, rows2)[:, :cap_words] for q in quads]
+    hi_d = (((s[0] & 0xFFFF) << 16) | (s[1] & 0xFFFF)).astype(jnp.int32)
+    lo_d = (((s[2] & 0xFFFF) << 16) | (s[3] & 0xFFFF)).astype(jnp.int32)
 
     nwords = ((total_bits + 31) >> 5)[:, None]
     valid = jnp.arange(cap_words, dtype=jnp.int32)[None, :] < nwords

@@ -227,9 +227,18 @@ def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
     c = next_o // span
     cross = is_step & (o // span < c)
     nslots = sync_slots(npos, span)
-    key = jnp.where(cross, c, jnp.int32(0x3FFFFFFF))
-    rows = max(8, ((16 << 20) // (12 * npos)) & ~7)
-    _, bit_s, rec_s = _row_sort((key, o, rec), rows, num_keys=1)
+    # slot compaction as three parallel packed 1-op sorts (crossing
+    # slots are unique, so the shared (miss, c) prefix pins one order;
+    # multi-operand sort comparators compile ~7x slower)
+    assert nslots <= (1 << 9)
+    miss = (~cross).astype(jnp.uint32) << 31
+    cu = miss | (jnp.clip(c, 0, nslots).astype(jnp.uint32) << 22)
+    rows = max(8, ((16 << 20) // (4 * npos)) & ~7)
+    s_o = _row_sort(cu | o.astype(jnp.uint32), rows)
+    s_rl = _row_sort(cu | (rec.astype(jnp.uint32) & 0xFFFF), rows)
+    s_rh = _row_sort(cu | (rec.astype(jnp.uint32) >> 16), rows)
+    bit_s = (s_o & 0x3FFFFF).astype(jnp.int32)
+    rec_s = (((s_rh & 0xFFFF) << 16) | (s_rl & 0xFFFF)).astype(jnp.int32)
     zero = jnp.zeros((b, 1), jnp.int32)
     built_bit = jnp.concatenate([zero, bit_s[:, :nslots - 1]], axis=1)
     built_rec = jnp.concatenate([zero, rec_s[:, :nslots - 1]], axis=1)

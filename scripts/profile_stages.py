@@ -48,8 +48,7 @@ def main() -> None:
     def timed(name, fn, *fnargs):
         @jax.jit
         def run(a0, *rest):
-            acc = jnp.int32(0)
-            for _ in range(reps):
+            def body(acc, _):
                 out = fn(jnp.bitwise_xor(a0, (acc & 1).astype(a0.dtype)),
                          *rest)
                 # consume EVERY leaf with a full reduction: consuming one
@@ -57,6 +56,8 @@ def main() -> None:
                 # round-2 "parse 0.00 ms" lie)
                 for leaf in jax.tree_util.tree_leaves(out):
                     acc = acc + jnp.sum(leaf.astype(jnp.int32))
+                return acc, None
+            acc, _ = jax.lax.scan(body, jnp.int32(0), None, length=reps)
             return acc
         t0 = time.perf_counter()
         _ = np.asarray(run(*fnargs))
