@@ -142,8 +142,8 @@ def decode_batch(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
     pay = jnp.where(kind == 1, val, off)
     rec = jnp.where(length > 0,
                     (opos << 13) | (is_copy << 11) | pay, -1)
-    acc = decode2._ownership_batch(rec[:, :, None], out_cap)
-    out, _ = pexpand.expand(acc, out_len)
+    fill = decode2._filled_records(rec[:, :, None])
+    out, _ = pexpand.expand_records(fill, out_len, out_cap)
     return out.astype(jnp.uint8), out_len, markers
 
 

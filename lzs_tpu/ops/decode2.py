@@ -18,19 +18,15 @@ consumes either one token head (<= 17 bits) or a run of up to 6 extension
 nibbles (<= 24 bits), mirroring the incremental decoder's states
 (lzs-decompression.c:505-739) with the nibble loop batched.
 
-Each parsed token becomes ONE packed int32 record (opos<<12 | is_copy<<11
+Each parsed token becomes ONE packed int32 record (opos<<13 | is_copy<<11
 | payload); zero-length tokens are suppressed so records have strictly
-increasing output positions in lane-major order. Per-byte ownership is
-then a sorted MERGE of records with byte slots (two 2-operand sorts + a
-cummax) — TPU sorts stream ~20x faster than XLA scatters.
-
-Expansion (LZ77 copy resolution) is a window-carry chunk scan: per output
-chunk, each byte's ultimate source is strictly before its own token start
-(a copy of length L > offset d wraps as src = start - d + (j - start) % d,
-which also linearizes RLE chains), so sources either land in the carried
-2 KiB window (one gather) or chain within the chunk (log2(chunk) gather
-rounds). Both gathers run on the MXU (ops.vgather) instead of XLA's
-serialized gather path.
+increasing output positions in lane-major order. A running max fills the
+empty slots (the stream stays nondecreasing in opos) and the Pallas
+record-walk expansion kernel (pexpand.expand_records) turns records
+directly into bytes: a carried slot pointer plus per-byte binary search
+over a VMEM record window replaces any per-byte ownership sort, and the
+LZ77 copies resolve against a carried circular window with in-chunk
+pointer doubling.
 
 Raw streams without sync metadata use ops.decode (the scan decoder, which
 also implements the reference's corrupt-input semantics).
@@ -190,63 +186,25 @@ def _parse(comp: jnp.ndarray, sync_bit: jnp.ndarray, sync_out: jnp.ndarray,
     return _parse_full(comp, sync_bit, sync_out, span)[0]
 
 
-def _ownership(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
-    """Per-byte covering-token records from lane-major parse records.
+def _filled_records(recs: jnp.ndarray) -> jnp.ndarray:
+    """Lane-major record stream, cummax-filled for the record walk.
 
-    recs: int32[S, L] packed records (-1 empty). In lane-major order
-    records have strictly increasing opos, so per-byte ownership is a
-    sorted merge with the byte index line: record at opos goes before
-    byte opos; a cummax then carries each record to the bytes it covers.
-    Returns int32[out_cap] records (-1 where no token covers the byte).
+    recs: int32[B, S, L] packed parse records (-1 empty). Records have
+    strictly increasing opos in lane-major order, so a running max fills
+    every empty slot with the previous record and the result is
+    nondecreasing — the form pexpand.expand_records walks. Padded to a
+    multiple of 128 slots (>= pexpand._RW).
     """
-    return _ownership_batch(recs[None], out_cap)[0]
-
-
-def _ownership_batch(recs: jnp.ndarray, out_cap: int) -> jnp.ndarray:
-    """Batched _ownership: recs int32[B, S, L] -> int32[B, out_cap].
-
-    Returns compact per-byte entries for the expansion kernel:
-    (is_start << 12) | (is_copy << 11) | pay, where is_start marks the
-    first byte of the covering parse record (the expansion kernel
-    reconstructs the record start with a carried scan — records cover
-    <= 98 bytes). is_start == is_copy == 0 means no record covers the
-    byte. The compact form keeps the extraction a SINGLE-operand packed
-    sort ((j << 13) | entry, 28 bits) — a 2-operand payload sort costs
-    ~2x more (15.3 vs 7.9 ms at the bench shape).
-
-    Both merge sorts run through pcand._row_sort so every lax.sort call
-    stays VMEM-resident (<= 16 MB).
-    """
-    from .pcand import _row_sort
+    from . import pexpand
 
     b = recs.shape[0]
-    flat = jnp.swapaxes(recs, 1, 2).reshape(b, -1)       # lane-major
-    j = jnp.arange(out_cap, dtype=jnp.int32)
-    b_entry = jnp.broadcast_to((j << 13) | (1 << 12), (b, out_cap))
-    merged = jnp.concatenate(
-        [jnp.where(flat >= 0, flat, _BIG), b_entry], axis=1)
-    m = merged.shape[1]
-    rows1 = max(8, ((16 << 20) // (4 * m)) & ~7)
-    # unique values (records have strictly increasing opos; byte entries
-    # have unique positions and a distinct tag bit) -> unstable sort is
-    # safe and ~4x cheaper on TPU
-    v = _row_sort(merged, rows1)
-    is_byte = ((v >> 12) & 1) == 1
-    is_tok = (v < _BIG) & ~is_byte
-    acc = jax.lax.cummax(jnp.where(is_tok, v, -1), axis=1)
-    # a record at opos j sorts immediately before byte j, so the byte's
-    # slot predecessor tells whether its covering record starts here
-    prev = jnp.concatenate([jnp.full((b, 1), _BIG, jnp.int32),
-                            v[:, :-1]], axis=1)
-    myj = v >> 13
-    is_start = (((prev >> 12) & 1) == 0) & (prev >> 13 == myj) \
-        & (prev < _BIG)
-    entry = jnp.where(acc >= 0,
-                      (is_start.astype(jnp.int32) << 12)
-                      | (acc & 0xFFF), 0)
-    back_key = jnp.where(is_byte, (myj << 13) | entry, _BIG)
-    per_byte = _row_sort(back_key, rows1)
-    return per_byte[:, :out_cap] & 0x1FFF
+    flat = jnp.swapaxes(recs, 1, 2).reshape(b, -1)
+    s = flat.shape[1]
+    want = max((s + 127) & ~127, pexpand._RW)
+    if want != s:
+        flat = jnp.concatenate(
+            [flat, jnp.full((b, want - s), -1, jnp.int32)], axis=1)
+    return jax.lax.cummax(jnp.where(flat >= 0, flat, -1), axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "span", "chunk"))
@@ -295,8 +253,8 @@ def decode_batch_sync(comp: jnp.ndarray, sync_bit: jnp.ndarray,
     recs, out_final = jax.vmap(
         lambda c, sb, so: _parse_full(c, sb, so, span))(
         comp.astype(jnp.int32), sync_bit, sync_out)
-    acc = _ownership_batch(recs, out_cap)
-    out, status = pexpand.expand(acc, n)
+    fill = _filled_records(recs)
+    out, status = pexpand.expand_records(fill, n, out_cap)
 
     # lane-boundary integrity: lane l parses bits [sync_bit[l],
     # sync_bit[l+1]) and must land exactly on lane l+1's output offset;

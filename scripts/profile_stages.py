@@ -140,15 +140,16 @@ def main() -> None:
               compi, sbit, sout)
     recs = jax.jit(vparse)(compi, sbit, sout)
 
-    if on("own"):
-        timed("dec: ownership",
-              lambda r: dec2._ownership_batch(r, args.block), recs)
-    acc = jax.jit(
-        lambda r: dec2._ownership_batch(r, args.block))(recs)
+    if on("fill"):
+        timed("dec: record fill",
+              lambda r: dec2._filled_records(r), recs)
+    fill = jax.jit(dec2._filled_records)(recs)
 
     if on("expand"):
         from lzs_tpu.ops import pexpand
-        timed("dec: expand", lambda a, n: pexpand.expand(a, n), acc, lens)
+        timed("dec: expand_records",
+              lambda f, n: pexpand.expand_records(f, n, args.block),
+              fill, lens)
 
     if on("decode"):
         timed("dec: decode_batch_sync",
