@@ -43,7 +43,8 @@ def _seg_suffix_or(key: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
     return acc
 
 
-def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int):
+def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int,
+              end_marker: tuple | None = None):
     """Pack per-position bit fields into a byte stream.
 
     Args:
@@ -57,13 +58,19 @@ def pack_bits(value: jnp.ndarray, width: jnp.ndarray, cap_bytes: int):
        offs: int32[M] exclusive bit offsets)
     """
     out, total_bits, offs = pack_bits_batch(value[None], width[None],
-                                            cap_bytes)
+                                            cap_bytes,
+                                            end_marker=end_marker)
     return out[0], total_bits[0], offs[0]
 
 
 def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
-                    cap_bytes: int):
+                    cap_bytes: int, end_marker: tuple | None = None):
     """Batched pack_bits: int32[B, M] value/width -> uint8[B, cap_bytes].
+
+    ``end_marker=(value, bits)`` splices one trailing unit into the
+    packed words arithmetically instead of as an M+1-th array column —
+    a 32769-wide sort pads to the next power of two and costs 3.4x a
+    32768-wide one on v5e.
 
     Stages: (1) compact real units (width > 0) to the row front with ONE
     packed 2-operand sort — offsets are the cumsum of compacted widths,
@@ -139,6 +146,23 @@ def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
     s = [_row_sort(q, rows2)[:, :cap_words] for q in quads]
     hi_d = (((s[0] & 0xFFFF) << 16) | (s[1] & 0xFFFF)).astype(jnp.int32)
     lo_d = (((s[2] & 0xFFFF) << 16) | (s[3] & 0xFFFF)).astype(jnp.int32)
+
+    if end_marker is not None:
+        emv, emb = end_marker
+        emv = jnp.uint32(emv)
+        w0m = (total_bits >> 5)[:, None]
+        endm = ((total_bits & 31) + emb)[:, None].astype(jnp.uint32)
+        hi_m = jnp.where(endm <= 32,
+                         emv << jnp.clip(32 - endm, 0, 31),
+                         emv >> jnp.clip(endm - 32, 0, 31)).astype(
+                             jnp.int32)
+        lo_m = jnp.where(endm <= 32, jnp.uint32(0),
+                         emv << jnp.clip(64 - endm, 0, 31)).astype(
+                             jnp.int32)
+        wi = jnp.arange(cap_words, dtype=jnp.int32)[None, :]
+        hi_d = hi_d | jnp.where(wi == w0m, hi_m, 0)
+        lo_d = lo_d | jnp.where(wi == w0m, lo_m, 0)
+        total_bits = total_bits + emb
 
     nwords = ((total_bits + 31) >> 5)[:, None]
     valid = jnp.arange(cap_words, dtype=jnp.int32)[None, :] < nwords

@@ -84,14 +84,12 @@ def _pipeline_batch(x, n, window, cap, chunk, backend, policy="greedy"):
         assert policy == "greedy", policy
     value, width, starts, length = jax.vmap(tokenize.emission_units)(
         x, n, score, off, full)
-    value = jnp.concatenate(
-        [value, jnp.full((nb, 1), spec.END_MARKER_VALUE, jnp.int32)],
-        axis=1)
-    width = jnp.concatenate(
-        [width, jnp.full((nb, 1), spec.END_MARKER_BITS, jnp.int32)],
-        axis=1)
+    # the end marker splices into the packed words arithmetically — an
+    # N+1-th unit column would make every pack sort width-32769, which
+    # pads to the next power of two and costs 3.4x on v5e
     comp, total_bits, offs = bitpack.pack_bits_batch(
-        value, width, cap_bytes(npos))
+        value, width, cap_bytes(npos),
+        end_marker=(spec.END_MARKER_VALUE, spec.END_MARKER_BITS))
     nbytes = (total_bits + 7) >> 3
     return comp, nbytes, total_bits, offs, width, starts, off
 
