@@ -119,20 +119,40 @@ def _parse_scan(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
     return units + (out_len, markers)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("out_cap", "max_units", "multi_stream"))
 def decode_batch(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
                  out_cap: int, max_units: int | None = None,
-                 multi_stream: bool = False):
+                 multi_stream: bool = False, engine: str = "bits"):
     """Batched decode_block: (uint8[B, C], int32[B]) ->
     (uint8[B, out_cap], int32[B], int32[B]).
 
-    The bit-serial parse scan vectorizes across blocks; the parse units
-    then flow through the same batched expansion as the container path
-    (decode2._ownership_batch merge + pexpand Pallas kernel) — the old
-    per-block pointer-doubling used log2(N) serialized XLA gathers.
+    engine "bits" (default) is the parallel per-bit parse + chain walk
+    (ops.bitpar — no serial scan at all); "scan" is the bit-serial
+    lax.scan mirror of the reference state machine, kept as the
+    executable-semantics oracle (both are pinned equal in tests).
     """
-    from . import decode2, pexpand
+    # bucket the input capacity to 1 KiB multiples so ragged host calls
+    # (e.g. the CLI, truncation sweeps) reuse compiled programs
+    b, c0 = comp.shape
+    cpad = max(-(-c0 // 1024) * 1024, 1024)
+    if cpad != c0:
+        comp = jnp.concatenate(
+            [comp, jnp.zeros((b, cpad - c0), comp.dtype)], axis=1)
+    return _decode_batch(comp, inbytes, out_cap=out_cap,
+                         max_units=max_units, multi_stream=multi_stream,
+                         engine=engine)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("out_cap", "max_units", "multi_stream",
+                                    "engine"))
+def _decode_batch(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
+                  out_cap: int, max_units: int | None = None,
+                  multi_stream: bool = False, engine: str = "bits"):
+    from . import bitpar, decode2, pexpand
+
+    if engine == "bits" and out_cap <= bitpar.MAX_OUT_CAP:
+        return bitpar.decode_batch_bits(comp, inbytes, out_cap=out_cap,
+                                        multi_stream=multi_stream)
 
     kind, val, off, length, opos, out_len, markers = jax.vmap(
         lambda c, m: _parse_scan(c, m, out_cap=out_cap,
@@ -148,7 +168,7 @@ def decode_batch(comp: jnp.ndarray, inbytes: jnp.ndarray, *,
 
 
 def decode_block(comp, inbytes, *, out_cap, max_units=None,
-                 multi_stream=False):
+                 multi_stream=False, engine="bits"):
     """Decode one LZS stream.
 
     Args:
@@ -164,7 +184,7 @@ def decode_block(comp, inbytes, *, out_cap, max_units=None,
     """
     out, out_len, markers = decode_batch(
         comp[None], inbytes[None], out_cap=out_cap, max_units=max_units,
-        multi_stream=multi_stream)
+        multi_stream=multi_stream, engine=engine)
     return out[0], out_len[0], markers[0]
 
 

@@ -130,7 +130,15 @@ def _expand_rec_kernel(rec_ref, n_ref, out_ref, st_ref, win_ref, rw_ref,
     is_lit = (~is_copy) & (~none)
 
     d = jnp.maximum(pay, 1)
-    src = seg_start - d + jax.lax.rem(j - seg_start, d)
+    # A copy of length L > d is periodic with period d, so any position
+    # p ≡ j (mod d) in [seg_start - d, j) carries j's value. The direct
+    # form (first period) can fall out of the carried window when one
+    # record spans many chunks (a single head can swallow a whole
+    # extension-nibble chain, ops.bitpar); rebase those onto the last
+    # period before the chunk base, which is always window-resident.
+    src_near = seg_start - d + jax.lax.rem(j - seg_start, d)
+    src_far = base - d + jax.lax.rem(j - base, d)
+    src = jnp.where(seg_start - d >= base - _WIN, src_near, src_far)
     val = jnp.where(is_lit, pay & 0xFF, 0)
     res = is_lit | none
 

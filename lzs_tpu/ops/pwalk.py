@@ -15,13 +15,20 @@ the XLA path uses measures 85 ms for the 8 MiB bench batch, while the
 same gathers lane-native in Pallas measure ~0.03 ms per 8.4 M elements
 (scripts/prim_pallas2.py). The walk drops to ~2 ms.
 
+The raw-stream decoder (ops.bitpar) reuses this walk on a 9x larger
+problem (one node per compressed BIT, ~300 K nodes/block), where kernel
+launch count — not gather throughput — dominates. Stages 1 and 3
+therefore batch several block rows per program (grid b/BR x t/RB instead
+of b x t/RB), and the sequential entry-threading stage consumes _G tiles
+per grid step instead of one.
+
 Layout: blocks of N positions split into T = N/128 tiles of 128 lanes.
   Stage 1 (kernel): per tile, jump tables A_t[j] = position after 2^t
     token hops from j, frozen once the chain escapes the tile; 7 rounds
     of in-VMEM lane gathers. Emits all 7 levels + the tile exits.
   Stage 2 (kernel, sequential grid): entry position of tile t+1 = exit
     of the chain from tile t's entry — a (B,) carry threaded across a
-    T-length grid with one masked-sum fetch per step.
+    T/_G-length grid with _G masked-sum fetches per step.
   Stage 3 (kernel): every position descends the jump tables from its
     tile's entry; i is a token start iff the last chain position <= i
     is i itself.
@@ -38,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TILE = 128
 _ROUNDS = 7                     # log2(_TILE)
-_RB = 64                        # max tile rows per stage-1/3 program
+_G = 8                          # tiles threaded per stage-2 grid step
 
 
 def _row_block(t: int) -> int:
@@ -50,61 +57,73 @@ def _row_block(t: int) -> int:
     return t
 
 
+def _batch_rows(b: int) -> int:
+    for br in (8, 4, 2):
+        if b % br == 0:
+            return br
+    return 1
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
 def _tables_kernel(step_ref, tabs_ref, exit_ref):
     g = pl.program_id(1)
-    step = step_ref[0]                                   # (RB, 128)
-    rows, lanes = step.shape
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
-    base = (g * rows + row) * _TILE
+    step = step_ref[:]                                   # (BR, RB, 128)
+    br, rows, lanes = step.shape
+    m = br * rows                # Mosaic gathers are 2D-only: flatten
+    s2 = step.reshape(m, lanes)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (m, lanes), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, lanes), 1)
+    base = (g * rows + r2 % rows) * _TILE
     i = base + lane
-    a = i + jnp.maximum(step, 1)
+    a = i + jnp.maximum(s2, 1)
     for t in range(_ROUNDS):
-        tabs_ref[t, 0] = a
+        tabs_ref[t] = a.reshape(br, rows, lanes)
         idx = jnp.clip(a - base, 0, _TILE - 1)
         gat = jnp.take_along_axis(a, idx, axis=-1)
         a = jnp.where(a < base + _TILE, gat, a)
-    exit_ref[0] = a
+    exit_ref[:] = a.reshape(br, rows, lanes)
 
 
 def _entries_kernel(exit_ref, ent_ref, carry):
-    t = pl.program_id(0)
+    t0 = pl.program_id(0)
 
-    @pl.when(t == 0)
+    @pl.when(t0 == 0)
     def _():
         carry[:] = jnp.zeros_like(carry)
 
-    ex = exit_ref[0]                                     # (B, 128)
     c = carry[:, 0]                                      # (B,)
-    base = t * _TILE
-    lane = jax.lax.broadcasted_iota(jnp.int32, ex.shape, 1)
-    nxt = jnp.sum(jnp.where(lane == (c - base)[:, None], ex, 0), axis=1)
-    inside = (c >= base) & (c < base + _TILE)
-    ent_ref[0, :, 0] = c
-    cn = jnp.where(inside, nxt, c)
-    carry[:] = jnp.broadcast_to(cn[:, None], carry.shape)
+    for gg in range(exit_ref.shape[0]):
+        ex = exit_ref[gg]                                # (B, 128)
+        base = (t0 * exit_ref.shape[0] + gg) * _TILE
+        lane = jax.lax.broadcasted_iota(jnp.int32, ex.shape, 1)
+        nxt = jnp.sum(jnp.where(lane == (c - base)[:, None], ex, 0),
+                      axis=1)
+        inside = (c >= base) & (c < base + _TILE)
+        ent_ref[gg, :, 0] = c
+        c = jnp.where(inside, nxt, c)
+    carry[:] = jnp.broadcast_to(c[:, None], carry.shape)
 
 
 def _descent_kernel(tabs_ref, ent_ref, starts_ref):
     g = pl.program_id(1)
-    ent = ent_ref[0]                                     # (RB, 1)
-    rows = ent.shape[0]
-    row = jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _TILE), 1)
-    base = (g * rows + row) * _TILE
+    ent = ent_ref[:]                                     # (BR, RB, 1)
+    br, rows = ent.shape[:2]
+    m = br * rows
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (m, _TILE), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, _TILE), 1)
+    base = (g * rows + r2 % rows) * _TILE
     i = base + lane
-    pos = jnp.broadcast_to(ent, (rows, _TILE))
+    pos = jnp.broadcast_to(ent.reshape(m, 1), (m, _TILE))
     for t in range(_ROUNDS - 1, -1, -1):
-        tab = tabs_ref[t, 0]
+        tab = tabs_ref[t].reshape(m, _TILE)
         idx = jnp.clip(pos - base, 0, _TILE - 1)
         nxt = jnp.take_along_axis(tab, idx, axis=-1)
         ok = (pos >= base) & (pos < base + _TILE) & (nxt <= i)
         pos = jnp.where(ok, nxt, pos)
-    starts_ref[0] = (pos == i).astype(jnp.int32)
+    starts_ref[:] = (pos == i).astype(jnp.int32).reshape(br, rows, _TILE)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -123,19 +142,20 @@ def walk_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
     assert npos % _TILE == 0
     t = npos // _TILE
     rb = _row_block(t)
+    br = _batch_rows(b)
     interp = _interpret()
     stepr = step.astype(jnp.int32).reshape(b, t, _TILE)
 
     tabs, exits = pl.pallas_call(
         _tables_kernel,
-        grid=(b, t // rb),
-        in_specs=[pl.BlockSpec((1, rb, _TILE), lambda i, j: (i, j, 0),
+        grid=(b // br, t // rb),
+        in_specs=[pl.BlockSpec((br, rb, _TILE), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((_ROUNDS, 1, rb, _TILE),
+            pl.BlockSpec((_ROUNDS, br, rb, _TILE),
                          lambda i, j: (0, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, _TILE), lambda i, j: (i, j, 0),
+            pl.BlockSpec((br, rb, _TILE), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)],
         out_shape=[
             jax.ShapeDtypeStruct((_ROUNDS, b, t, _TILE), jnp.int32),
@@ -143,12 +163,13 @@ def walk_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
         interpret=interp,
     )(stepr)
 
+    gt = _G if t % _G == 0 else 1
     entries_t = pl.pallas_call(
         _entries_kernel,
-        grid=(t,),
-        in_specs=[pl.BlockSpec((1, b, _TILE), lambda i: (i, 0, 0),
+        grid=(t // gt,),
+        in_specs=[pl.BlockSpec((gt, b, _TILE), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, b, 1), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((gt, b, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t, b, 1), jnp.int32),
         scratch_shapes=[pltpu.VMEM((b, _TILE), jnp.int32)],
@@ -158,14 +179,14 @@ def walk_starts(step: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
 
     starts = pl.pallas_call(
         _descent_kernel,
-        grid=(b, t // rb),
+        grid=(b // br, t // rb),
         in_specs=[
-            pl.BlockSpec((_ROUNDS, 1, rb, _TILE),
+            pl.BlockSpec((_ROUNDS, br, rb, _TILE),
                          lambda i, j: (0, i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rb, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((br, rb, 1), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, rb, _TILE), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((br, rb, _TILE), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, t, _TILE), jnp.int32),
         interpret=interp,

@@ -39,24 +39,30 @@ _BIG = 0x3FFFFFFF    # plain int: jnp scalars become captured jaxpr consts
 
 
 def _tile_gather(tables: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Row-wise gather of 16-bit values: tables/idx int32[R, T].
+    """Row-wise gather of 24-bit values: tables/idx int32[R, T].
 
     For tiles this small a direct one-hot int8 contraction on the MXU is
     cheaper than both XLA's serialized gather and the digit-split scheme
     in ops.vgather (whose 16-way in-row select expands intermediates 16x).
+    Three byte planes: chain positions reach 2 * N, and the raw-stream
+    bit walk (ops.bitpar) runs at N ~ 300 K positions — two planes
+    silently corrupted any walk past 65535 (caught by
+    test_token_starts_wide_positions).
     """
     t = tables.shape[-1]
     oh = (idx[..., None]
           == jnp.arange(t, dtype=jnp.int32)).astype(jnp.int8)
-    planes = jnp.stack([tables & 0xFF, tables >> 8], axis=-1).astype(
-        jnp.int8)
+    planes = jnp.stack(
+        [tables & 0xFF, (tables >> 8) & 0xFF, (tables >> 16) & 0xFF],
+        axis=-1).astype(jnp.int8)
     nb = oh.ndim - 2
     out = jax.lax.dot_general(
         oh, planes,
         ((( oh.ndim - 1,), (planes.ndim - 2,)),
          (tuple(range(nb)), tuple(range(nb)))),
         preferred_element_type=jnp.int32)
-    return (out[..., 0] & 0xFF) | ((out[..., 1] & 0xFF) << 8)
+    return ((out[..., 0] & 0xFF) | ((out[..., 1] & 0xFF) << 8)
+            | ((out[..., 2] & 0xFF) << 16))
 
 
 @jax.custom_batching.custom_vmap

@@ -237,3 +237,69 @@ def test_lazy_policy_roundtrip_and_size():
             out_cap=block)
         assert int(out_len) == len(data)
         assert np.asarray(out)[:len(data)].tobytes() == data
+
+
+def test_bitpar_matches_scan_engine():
+    """The parallel per-bit decoder (ops.bitpar) must agree with the
+    bit-serial scan decoder (the executable-semantics oracle) on fuzzed
+    streams — including truncations and concatenated streams — at a
+    batch size >= 32 (the size where jax.lax.associative_scan miscompiled
+    on TPU; the hand-rolled blocked scan is pinned here on every
+    backend)."""
+    rng = np.random.default_rng(7)
+    datas = []
+    for _ in range(30):
+        kind = rng.integers(0, 4)
+        n = int(rng.integers(0, 700))
+        if kind == 0:
+            d = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        elif kind == 1:
+            d = bytes([int(rng.integers(0, 4))]) * n
+        elif kind == 2:
+            seed = bytes(rng.integers(97, 123, 13, dtype=np.uint8))
+            d = (seed * (n // len(seed) + 1))[:n]
+        else:
+            d = ref.lzs_compress(bytes(rng.integers(0, 256, n,
+                                                    dtype=np.uint8)))
+        datas.append(d)
+    streams = [ref.lzs_compress(d) for d in datas]
+    # two concatenated-stream rows and a truncated row
+    streams.append(streams[0] + streams[1])
+    streams.append(streams[2][:max(len(streams[2]) // 2, 1)])
+    cap = max(len(s) for s in streams) + 8
+    buf = np.zeros((len(streams), cap), np.uint8)
+    lens = np.zeros(len(streams), np.int32)
+    for i, s in enumerate(streams):
+        buf[i, :len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+    import jax.numpy as jnp
+    for multi in (False, True):
+        a = dec_ops.decode_batch(jnp.asarray(buf), jnp.asarray(lens),
+                                 out_cap=2048, multi_stream=multi,
+                                 engine="bits")
+        b = dec_ops.decode_batch(jnp.asarray(buf), jnp.asarray(lens),
+                                 out_cap=2048, multi_stream=multi,
+                                 engine="scan")
+        for ga, gb in zip(a, b):
+            assert np.array_equal(np.asarray(ga), np.asarray(gb))
+
+
+@pytest.mark.parametrize("period", [1, 3, 27, 1999])
+def test_long_single_record_copy(period):
+    """A single match token whose extension chain spans many expansion
+    chunks (the bits engine emits ONE record for the whole chain): the
+    copy's source must rebase onto the carried window by periodicity
+    (pexpand src_far) instead of reading stale window slots."""
+    import jax.numpy as jnp
+
+    seed = (bytes(i % 251 for i in range(period)) if period > 1
+            else b"Q")
+    data = (seed * (8192 // len(seed) + 1))[:8192]
+    stream = ref.lzs_compress(data)
+    buf = np.frombuffer(stream, np.uint8)
+    for eng in ("bits", "scan"):
+        out, out_len, _ = dec_ops.decode_block(
+            jnp.asarray(buf), jnp.int32(len(stream)), out_cap=8192,
+            engine=eng)
+        assert int(out_len) == len(data)
+        assert np.asarray(out)[:len(data)].tobytes() == data

@@ -62,3 +62,28 @@ def test_token_starts_vmap_dispatch():
                                          jnp.int32(n[i])))
         for i in range(b)])
     np.testing.assert_array_equal(batched, single)
+
+
+def test_token_starts_wide_positions():
+    """Chain walks past position 65535 (the raw-stream bit walk runs at
+    ~300 K positions) — pins the 24-bit _tile_gather planes on the XLA
+    path and the Pallas walk alike."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lzs_tpu.ops import tokenize
+
+    rng = np.random.default_rng(3)
+    n = 128 * 1024          # 131072 positions > 2^16
+    step = rng.integers(1, 30, (2, n)).astype(np.int32)
+    lens = np.array([n, n - 777], np.int32)
+    got = np.asarray(jax.vmap(tokenize.token_starts)(
+        jnp.asarray(step), jnp.asarray(lens)))
+    for b in range(2):
+        ref = np.zeros(n, bool)
+        pos = 0
+        while pos < lens[b]:
+            ref[pos] = True
+            pos += max(int(step[b, pos]), 1)
+        assert np.array_equal(got[b], ref)
