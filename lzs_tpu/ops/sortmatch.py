@@ -372,45 +372,20 @@ def _extend_batch(x, n, score, off, cap):
     """Batched _extend: run-end pinning + Pallas-gather probes.
 
     Same result as ``jax.vmap(_extend)``; see _extend for the run-end
-    argument. The probe tier fetches its compare spans with
-    pgather.gather_big instead of MXU one-hot contractions.
+    argument. The two full-width scans (reverse cummin over break info,
+    forward cummax over resolved heads) run as pext roll-scan kernels —
+    as XLA cummin/cummax they cost ~2-3 ms each at the bench shape. The
+    probe tier fetches its compare spans with pgather.gather_big
+    instead of MXU one-hot contractions.
     """
-    b, npos = x.shape
-    i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
-                         (b, npos))
-    nq = n[:, None]
-    capped = (score >= cap) & (i + cap < nq)
-    full = score
+    from . import pext
 
-    prev_c = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.bool_), capped[:, :-1]], axis=1)
-    prev_o = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), off[:, :-1]], axis=1)
-    head = capped & (~prev_c | (off != prev_o))
-
-    brk = head | ~capped
-    is_cap_score = score >= cap
-    binfo = jnp.where(brk,
-                      (i << 13) | (is_cap_score.astype(jnp.int32) << 12)
-                      | jnp.clip(off, 0, 0x7FF),
-                      _BIG)
-    rcm = jax.lax.cummin(binfo, axis=1, reverse=True)
-    nxt1 = jnp.concatenate(
-        [rcm[:, 1:], jnp.full((b, 1), _BIG, jnp.int32)], axis=1)
-    has_brk = nxt1 < _BIG
-    e = jnp.where(has_brk, nxt1 >> 13, npos)
-    steal = has_brk & (((nxt1 >> 12) & 1) == 1) & ((nxt1 & 0x7FF) < off)
-    need_probe = head & ((e + cap >= nq) | steal)
-    ext_res = e - i - 1
+    packed = pext.ext_breaks(score, off, n, cap)
+    need_probe = (packed & 1) != 0
+    ext_res = packed >> 3
     ext_p = _probe_batch(x, n, off, need_probe, cap)
     ext_h = jnp.where(need_probe, ext_p, ext_res)
-
-    pk = jax.lax.cummax(
-        jnp.where(head, (i << 16) | jnp.minimum(cap + ext_h, 0xFFFF), -1),
-        axis=1)
-    hfull = pk & 0xFFFF
-    hpos = pk >> 16
-    return jnp.where(capped, hfull - (i - hpos), full)
+    return pext.ext_fold(packed, ext_h, score, cap)
 
 
 def _probe_batch(x, n, doff, active, cap):
@@ -483,31 +458,34 @@ def _probe_batch(x, n, doff, active, cap):
         cln = jnp.where(lanes, ext, 0)
         act = lanes & full_span & (cbase + ext < nq)
 
-        # tier 2: close long runs by distinct offset (per-block columns)
-        def t2_block(act2, cln2, cdoff2, cbase2, xb, nb):
-            jb = jnp.arange(npos, dtype=jnp.int32)
+        # tier 2: close long runs by distinct offset. One BATCH-GLOBAL
+        # offset per round (a scalar shift keeps the roll two slices and
+        # the run column one pext roll-scan; the old per-block vmapped
+        # form paid ~6.5 ms for vmapped dynamic rolls + XLA cummin +
+        # per-lane gathers even when a single round sufficed)
+        from . import pext
 
-            def t2_body(state2):
-                a2, c2 = state2
-                d0 = jnp.min(jnp.where(a2, cdoff2, _BIG))
-                prev = jnp.where(jb >= d0, jnp.roll(xb, d0), -1)
-                eq = (xb == prev) & (jb < nb)
-                mm = jnp.where(eq, _BIG, jb)
-                rm = jax.lax.cummin(mm, reverse=True)
-                col = jnp.maximum(jnp.minimum(rm, nb) - jb, 0)
-                mine = a2 & (cdoff2 == d0)
-                c2 = jnp.where(mine,
-                               col[jnp.clip(cbase2, 0, npos - 1)], c2)
-                return a2 & ~mine, c2
+        def t2_body(state2):
+            a2, c2 = state2
+            d0 = jnp.min(jnp.where(a2, cdoff, _BIG))
+            prev = jnp.roll(x, d0, axis=1)
+            eq = (x == prev) & (i >= d0) & (i < nq)
+            mm = jnp.where(eq, _BIG, i)
+            rm = pext.rcummin_rows(mm)
+            col = jnp.maximum(jnp.minimum(rm, nq) - i, 0)
+            vals = gather_big(col, a)
+            mine = a2 & (cdoff == d0)
+            return a2 & ~mine, jnp.where(mine, vals, c2)
 
-            return jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body,
-                                      (act2, cln2))[1]
-
-        cln = jax.vmap(t2_block)(act, cln, cdoff, cbase, x, n)
+        _, cln = jax.lax.while_loop(lambda s: jnp.any(s[0]), t2_body,
+                                    (act, cln))
 
         # deliver by probe rank: active position r-th in index order
-        # reads wave slot r (the compaction is index-ordered)
-        rank = jnp.cumsum(remaining.astype(jnp.int32), axis=1) - 1
+        # reads wave slot r (the compaction is index-ordered; the rank
+        # is a pext roll-scan — XLA's cumsum costs ~2 ms at this shape)
+        from . import pext
+
+        rank = pext.rank_mask(remaining)
         vals = gather_big(cln, jnp.clip(rank, 0, p - 1))
         take = remaining & (rank < p)
         ln = jnp.where(take, vals, ln)

@@ -84,6 +84,26 @@ def test_candidates_batch_small_block_fallback():
     np.testing.assert_array_equal(go, wo)
 
 
+def test_extend_batch_pext_kernels_match_extend():
+    """The Pallas-scan extension path (pext break/fold/rank kernels,
+    interpret mode) must equal the per-block _extend oracle."""
+    import functools
+    rng = np.random.default_rng(5)
+    npos, b = 4096, 3
+    x = np.stack([_mixed_corpus(rng, npos) for _ in range(b)])
+    n = np.array([npos, npos - 13, 1999], np.int32)
+    for i in range(b):
+        x[i, n[i]:] = 0
+    sj, nj = jnp.asarray(x), jnp.asarray(n)
+    score, off = jax.jit(jax.vmap(
+        lambda a, m: sortmatch.candidates(a, m)))(sj, nj)
+    got = np.asarray(jax.jit(
+        lambda: sortmatch._extend_batch(sj, nj, score, off, 12))())
+    want = np.asarray(jax.jit(jax.vmap(
+        functools.partial(sortmatch._extend, cap=12)))(sj, nj, score, off))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_exhaustive_backend_matches_sort_backend():
     """C5 pinning: the brute-force windowed-compare kernel (ops.match,
     the analogue of lzs_simple_compress's O(N*W) scan,
