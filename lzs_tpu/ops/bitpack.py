@@ -82,70 +82,44 @@ def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
     Every sort is row-split to stay VMEM-resident (pcand._row_sort).
     """
     from .pcand import _row_sort
+    from . import ppack
 
     assert cap_bytes % 4 == 0
     cap_words = cap_bytes // 4
     b, m = value.shape
     assert m <= (1 << 16) and cap_words <= (1 << 14)
-    pos = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (b, m))
     rows = max(8, ((16 << 20) // (4 * m)) & ~7)
-    # compaction as two parallel packed single-operand sorts: both keys
-    # share the unique (invalid, pos) prefix so their orders coincide,
-    # and 1-op sorts compile ~7x faster than multi-operand comparators
-    # (2 s vs 14 s) at similar runtime
-    inv = (width <= 0).astype(jnp.uint32) << 31
-    posu = pos.astype(jnp.uint32) << 15
-    vu = value.astype(jnp.uint32)
-    key_a = inv | posu | (width.astype(jnp.uint32) << 10) | (vu >> 15)
-    key_b = inv | posu | (vu & 0x7FFF)
-    sa = _row_sort(key_a, rows)
-    sb = _row_sort(key_b, rows)
-    w_c = ((sa >> 10) & 31).astype(jnp.int32)
-    v_c = ((sa & 0x3FF) << 15) | (sb & 0x7FFF)
 
-    offs_c = jnp.cumsum(w_c, axis=1) - w_c
-    total_bits = offs_c[:, -1] + w_c[:, -1]
+    # one Pallas pass: offset cumsum, 64-bit window build, segmented
+    # group OR, spill merge into the next head, head-compaction keys
+    offs, key_a, key_b, lp1, lp2 = ppack.pack_phase(
+        value.astype(jnp.int32), width.astype(jnp.int32))
+    total_bits = offs[:, -1] + width[:, -1]
 
-    w0 = offs_c >> 5
-    end = (offs_c & 31) + w_c             # bit end within 64-bit window
-    hi = jnp.where(end <= 32,
-                   v_c << jnp.clip(32 - end, 0, 31).astype(jnp.uint32),
-                   v_c >> jnp.clip(end - 32, 0, 31).astype(jnp.uint32))
-    lo = jnp.where(end <= 32, jnp.uint32(0),
-                   v_c << jnp.clip(64 - end, 0, 31).astype(jnp.uint32))
-    hi = jnp.where(w_c > 0, hi, 0).astype(jnp.int32)
-    lo = jnp.where(w_c > 0, lo, 0).astype(jnp.int32)
-
-    # group by anchor word, OR each group into its head; groups hold
-    # <= 10 units after compaction, so 4 rounds (shifts 1, 2, 4, 8)
-    hi_acc, lo_acc = hi, lo
-    for sh in (1, 2, 4, 8):
-        z = jnp.zeros((b, sh), jnp.int32)
-        same = jnp.concatenate([w0[:, sh:] == w0[:, :-sh],
-                                jnp.zeros((b, sh), jnp.bool_)], axis=1)
-        hi_s = jnp.concatenate([hi_acc[:, sh:], z], axis=1)
-        lo_s = jnp.concatenate([lo_acc[:, sh:], z], axis=1)
-        hi_acc = jnp.where(same, hi_acc | hi_s, hi_acc)
-        lo_acc = jnp.where(same, lo_acc | lo_s, lo_acc)
-
-    head = jnp.concatenate(
-        [jnp.ones((b, 1), jnp.bool_), w0[:, 1:] != w0[:, :-1]], axis=1)
-    head = head & (w_c > 0)
-    # head compaction as four parallel packed 1-op sorts (same
-    # compile-time rationale as above); anchor words are unique per head
-    inv2 = (~head).astype(jnp.uint32) << 31
-    w0u = inv2 | (w0.astype(jnp.uint32) << 16)
-    hiu = hi_acc.astype(jnp.uint32)
-    lou = lo_acc.astype(jnp.uint32)
-    quads = [w0u | (hiu >> 16), w0u | (hiu & 0xFFFF),
-             w0u | (lou >> 16), w0u | (lou & 0xFFFF)]
+    # dense words via two parallel packed 1-op sorts (heads carry the
+    # unique (w0) prefix so both halves land in the same order; non-head
+    # entries sort past them and are masked off by their MISS bit)
+    ka, kb = key_a, key_b
     if m < cap_words:                     # ensure >= cap_words entries
-        pad = jnp.full((b, cap_words - m), 0xFFFFFFFF, jnp.uint32)
-        quads = [jnp.concatenate([q, pad], axis=1) for q in quads]
-    rows2 = max(8, ((16 << 20) // (4 * quads[0].shape[1])) & ~7)
-    s = [_row_sort(q, rows2)[:, :cap_words] for q in quads]
-    hi_d = (((s[0] & 0xFFFF) << 16) | (s[1] & 0xFFFF)).astype(jnp.int32)
-    lo_d = (((s[2] & 0xFFFF) << 16) | (s[3] & 0xFFFF)).astype(jnp.int32)
+        pad = jnp.full((b, cap_words - m), 0x7FFFFFFF, jnp.int32)
+        ka = jnp.concatenate([ka, pad], axis=1)
+        kb = jnp.concatenate([kb, pad], axis=1)
+    rows2 = max(8, ((16 << 20) // (4 * ka.shape[1])) & ~7)
+    sa = _row_sort(ka, rows2)[:, :cap_words]
+    sb = _row_sort(kb, rows2)[:, :cap_words]
+    ha = jnp.where(sa < ppack._MISS, sa & 0xFFFF, 0)
+    hb = jnp.where(sb < ppack._MISS, sb & 0xFFFF, 0)
+    words = (ha << 16) | hb
+
+    # the final head's group spill has no successor head to carry it:
+    # recover it with a max over the packed per-head spill columns
+    m1 = jnp.max(lp1, axis=1)
+    m2 = jnp.max(lp2, axis=1)
+    spill = jnp.where(m1 >= 0, ((m1 & 0xFFFF) << 16) | (m2 & 0xFFFF), 0)
+    wi = jnp.arange(cap_words, dtype=jnp.int32)[None, :]
+    last_w0 = jnp.where(m1 >= 0, m1 >> 16, -2)
+    words = words | jnp.where(wi == (last_w0 + 1)[:, None],
+                              spill[:, None], 0)
 
     if end_marker is not None:
         emv, emb = end_marker
@@ -159,20 +133,12 @@ def pack_bits_batch(value: jnp.ndarray, width: jnp.ndarray,
         lo_m = jnp.where(endm <= 32, jnp.uint32(0),
                          emv << jnp.clip(64 - endm, 0, 31)).astype(
                              jnp.int32)
-        wi = jnp.arange(cap_words, dtype=jnp.int32)[None, :]
-        hi_d = hi_d | jnp.where(wi == w0m, hi_m, 0)
-        lo_d = lo_d | jnp.where(wi == w0m, lo_m, 0)
+        words = words | jnp.where(wi == w0m, hi_m, 0)
+        words = words | jnp.where(wi == w0m + 1, lo_m, 0)
         total_bits = total_bits + emb
 
     nwords = ((total_bits + 31) >> 5)[:, None]
-    valid = jnp.arange(cap_words, dtype=jnp.int32)[None, :] < nwords
-    lo_prev = jnp.concatenate(
-        [jnp.zeros((b, 1), jnp.int32), lo_d[:, :-1]], axis=1)
-    words = jnp.where(valid, hi_d | lo_prev, 0)
-
-    # uncompacted exclusive offsets (sync records index by position):
-    # cumsum over the original widths
-    offs = jnp.cumsum(width, axis=1) - width
+    words = jnp.where(wi < nwords, words, 0)
     return words_to_bytes(words), total_bits, offs
 
 

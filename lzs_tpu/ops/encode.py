@@ -188,6 +188,7 @@ def encode_batch_sync(x: jnp.ndarray, n: jnp.ndarray, *,
 
 def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
     from .pcand import _row_sort
+    from . import pext
 
     b, npos = starts.shape
     i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
@@ -195,9 +196,8 @@ def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
     # parse steps: a token head is one step; every NIBBLES_PER_STEP
     # extension nibbles are one step (decode2 consumes nibble runs)
     is_nib = (~starts) & (width[:, :npos] == 4)
-    okey = jax.lax.cummax(
-        jnp.where(starts, (i << 12) | jnp.minimum(off, 0xFFF), -1),
-        axis=1)
+    okey = pext.cummax_rows(
+        jnp.where(starts, (i << 12) | jnp.minimum(off, 0xFFF), -1))
     owner_i = okey >> 12
     owner_off = okey & 0xFFF
     t = i - owner_i - 1
@@ -220,7 +220,7 @@ def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
     end_bits = total_bits - spec.END_MARKER_BITS
     o = offs[:, :npos]
     so = jnp.where(is_step, o, jnp.int32(0x3FFFFFFF))
-    nso = jax.lax.cummin(so, axis=1, reverse=True)
+    nso = pext.rcummin_rows(so)
     next_o = jnp.concatenate([nso[:, 1:], end_bits[:, None]], axis=1)
     c = next_o // span
     cross = is_step & (o // span < c)

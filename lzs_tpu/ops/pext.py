@@ -168,3 +168,12 @@ def rcummin_rows(v):
     """Row-wise suffix cumulative min of int32[B, N] (Pallas roll-scan;
     XLA's reverse cummin costs ~2-3 ms at the (256, 32768) bench shape)."""
     return _call(_rcummin_kernel, [v])
+
+
+def _cummax_kernel(v_ref, out_ref):
+    out_ref[:] = _roll_cummax(v_ref[:])
+
+
+def cummax_rows(v):
+    """Row-wise prefix cumulative max of int32[B, N] (Pallas roll-scan)."""
+    return _call(_cummax_kernel, [v])
