@@ -188,55 +188,35 @@ def encode_batch_sync(x: jnp.ndarray, n: jnp.ndarray, *,
 
 def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
     from .pcand import _row_sort
-    from . import pext
+    from . import psync
 
     b, npos = starts.shape
-    i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
-                         (b, npos))
-    # parse steps: a token head is one step; every NIBBLES_PER_STEP
-    # extension nibbles are one step (decode2 consumes nibble runs)
-    is_nib = (~starts) & (width[:, :npos] == 4)
-    okey = pext.cummax_rows(
-        jnp.where(starts, (i << 12) | jnp.minimum(off, 0xFFF), -1))
-    owner_i = okey >> 12
-    owner_off = okey & 0xFFF
-    t = i - owner_i - 1
-    is_step = starts | (is_nib & (t % NIBBLES_PER_STEP == 0))
-
-    # parser state at a step: output offset, mode, current offset.
-    # A nibble group at chain index t extends output at owner+8+15*t.
-    opos = jnp.where(starts, i,
-                     owner_i + spec.MAX_SHORT_LENGTH
-                     + spec.MAX_EXTENDED_LENGTH * t)
-    rec = jnp.where(starts, i,
-                    opos | (1 << 17) | (owner_off << 18))
-
-    # span-boundary crossings: the step at bit o crosses slot c when the
-    # next step starts at or past bit span*c. Steps are <= MAX_STEP_BITS
-    # bits, so each step crosses at most one boundary and every slot
-    # 1..nsync-1 receives exactly one record. Crossing slots are monotone
-    # in position, so compacting them to dense slots is a single sort
-    # (XLA scatters serialize on TPU; sorts stream).
+    # parse steps (a token head; every NIBBLES_PER_STEP extension
+    # nibbles), parser-state records, and span-boundary crossing slots
+    # all come from one fused psync kernel pass (see its docstring; as
+    # XLA ops the two scans plus the elementwise chain cost ~8 ms at
+    # the bench shape). Steps are <= MAX_STEP_BITS bits, so each step
+    # crosses at most one boundary and every slot 1..nsync-1 receives
+    # exactly one record; crossing slots are monotone in position, so
+    # compacting them to dense slots is a single sort per key (XLA
+    # scatters serialize on TPU; sorts stream).
     end_bits = total_bits - spec.END_MARKER_BITS
-    o = offs[:, :npos]
-    so = jnp.where(is_step, o, jnp.int32(0x3FFFFFFF))
-    nso = pext.rcummin_rows(so)
-    next_o = jnp.concatenate([nso[:, 1:], end_bits[:, None]], axis=1)
-    c = next_o // span
-    cross = is_step & (o // span < c)
     nslots = sync_slots(npos, span)
-    # slot compaction as three parallel packed 1-op sorts (crossing
-    # slots are unique, so the shared (miss, c) prefix pins one order;
-    # multi-operand sort comparators compile ~7x slower)
-    assert nslots <= (1 << 9)
-    miss = (~cross).astype(jnp.uint32) << 31
-    cu = miss | (jnp.clip(c, 0, nslots).astype(jnp.uint32) << 22)
+    pb = max(16, (cap_bytes(npos) * 8 - 1).bit_length())
+    cb = max(1, nslots.bit_length())
+    assert pb + cb + 1 <= 31, (pb, cb)
+    ko, kl, kh = psync.sync_keys(
+        starts, width[:, :npos], off, offs[:, :npos], end_bits,
+        span=span, nibbles=NIBBLES_PER_STEP,
+        short_len=spec.MAX_SHORT_LENGTH,
+        ext_len=spec.MAX_EXTENDED_LENGTH, pb=pb, cmax=nslots)
     rows = max(8, ((16 << 20) // (4 * npos)) & ~7)
-    s_o = _row_sort(cu | o.astype(jnp.uint32), rows)
-    s_rl = _row_sort(cu | (rec.astype(jnp.uint32) & 0xFFFF), rows)
-    s_rh = _row_sort(cu | (rec.astype(jnp.uint32) >> 16), rows)
-    bit_s = (s_o & 0x3FFFFF).astype(jnp.int32)
-    rec_s = (((s_rh & 0xFFFF) << 16) | (s_rl & 0xFFFF)).astype(jnp.int32)
+    s_o = _row_sort(ko, rows)
+    s_rl = _row_sort(kl, rows)
+    s_rh = _row_sort(kh, rows)
+    pmask = (1 << pb) - 1
+    bit_s = s_o & pmask
+    rec_s = ((s_rh & 0x1FFF) << 16) | (s_rl & 0xFFFF)
     zero = jnp.zeros((b, 1), jnp.int32)
     built_bit = jnp.concatenate([zero, bit_s[:, :nslots - 1]], axis=1)
     built_rec = jnp.concatenate([zero, rec_s[:, :nslots - 1]], axis=1)
