@@ -71,18 +71,30 @@ def concat_streams(comp: jnp.ndarray, lens: jnp.ndarray) -> tuple[
     return flat, total
 
 
+FLAG_LAZY = 1          # container flags bit: lazy (1-token-lookahead) policy
+_KNOWN_FLAGS = FLAG_LAZY
+
+
 @dataclasses.dataclass
 class BlockCodec:
-    """Batch codec over fixed-size blocks with cached jitted kernels."""
+    """Batch codec over fixed-size blocks with cached jitted kernels.
+
+    ``policy``: "greedy" (reference byte parity) or "lazy" (1-token
+    lookahead — usually smaller output, still a valid LZS stream; the
+    container flags byte records which policy produced a blob).
+    """
     block: int = DEFAULT_BLOCK
     chunk: int = 4096
     span: int = enc_ops.SYNC_SPAN
+    policy: str = "greedy"
 
     def __post_init__(self):
+        assert self.policy in ("greedy", "lazy"), self.policy
         self.cap = enc_ops.cap_bytes(self.block)
         self.slots = enc_ops.sync_slots(self.block, self.span)
         self._enc = enc_ops.make_encoder(self.block, chunk=self.chunk,
-                                         sync=True, span=self.span)
+                                         sync=True, span=self.span,
+                                         policy=self.policy)
         self._dec_sync = dec2_ops.make_decoder_sync(self.cap, self.block,
                                                     span=self.span)
         self._dec_raw = None
@@ -126,15 +138,15 @@ class BlockCodec:
         # per-block end sentinel (bit offset of the end marker) is the
         # sentinel value the encoder stores in unused slots
         endbits = sbit_np[:, -1].astype(np.uint32)
-        recs = []
-        for b in range(len(clens_np)):
-            k = int(nsync_np[b])
-            recs.append(np.stack([sbit_np[b, :k], sout_np[b, :k]],
-                                 axis=1).astype(np.uint32))
-        recs_np = (np.concatenate(recs) if recs
-                   else np.zeros((0, 2), np.uint32))
+        # row-major boolean-mask selection keeps block order — one numpy
+        # slab copy instead of a per-block Python loop
+        live = (np.arange(sbit_np.shape[1])[None, :]
+                < nsync_np[:, None].astype(np.int64))
+        recs_np = np.stack([sbit_np[live], sout_np[live]],
+                           axis=1).astype(np.uint32)
         crc = zlib.adler32(payload) & 0xFFFFFFFF
-        header = struct.pack(_HDR, MAGIC, VERSION, 0, self.span,
+        flags = FLAG_LAZY if self.policy == "lazy" else 0
+        header = struct.pack(_HDR, MAGIC, VERSION, flags, self.span,
                              self.block, len(clens_np), len(data), crc)
         return (header + clens_np.tobytes() + nsync_np.tobytes()
                 + endbits.tobytes() + recs_np.tobytes() + payload)
@@ -153,10 +165,12 @@ class BlockCodec:
             raise ValueError("container truncated: header incomplete")
         if blob[:4] != MAGIC:
             raise ValueError("not a container stream; use raw decode")
-        magic, ver, _f, span, block, nblocks, orig, crc = \
+        magic, ver, flags, span, block, nblocks, orig, crc = \
             struct.unpack_from(_HDR, blob)
         if ver != VERSION:
             raise ValueError(f"unsupported container version {ver}")
+        if flags & ~_KNOWN_FLAGS:
+            raise ValueError(f"unknown container flags {flags:#x}")
         if block != self.block or span != self.span:
             raise ValueError("container block/span mismatch with codec")
         if nblocks < 1 or nblocks > len(blob):
@@ -204,19 +218,20 @@ class BlockCodec:
             lens[-1] = orig - block * (nblocks - 1)
         else:
             lens[:] = 0
+        # slab fills: boolean-mask assignment walks rows in order, which
+        # is exactly the payload / record concatenation order (no
+        # per-block Python loop — the host must not become the wall at
+        # device decode rates)
         comp = np.zeros((nblocks, self.cap), np.uint8)
-        sbit = np.zeros((nblocks, self.slots), np.int32)
-        sout = np.zeros((nblocks, self.slots), np.int32)
-        coffs = np.concatenate([[0], np.cumsum(clens)])
-        r = 0
-        for b in range(nblocks):
-            comp[b, :clens[b]] = payload[coffs[b]:coffs[b + 1]]
-            k = int(nsync[b])
-            sbit[b, :k] = recs[r:r + k, 0]
-            sout[b, :k] = recs[r:r + k, 1]
-            sbit[b, k:] = endbits[b]
-            sout[b, k:] = lens[b]
-            r += k
+        cmask = np.arange(self.cap)[None, :] < clens[:, None]
+        comp[cmask] = payload[:int(clens.sum())]
+        smask = np.arange(self.slots)[None, :] < nsync[:, None]
+        sbit = np.broadcast_to(endbits[:, None],
+                               (nblocks, self.slots)).copy()
+        sout = np.broadcast_to(lens[:, None],
+                               (nblocks, self.slots)).copy()
+        sbit[smask] = recs[:, 0]
+        sout[smask] = recs[:, 1]
         out, status = self.decode_batch_status(
             jnp.asarray(comp), jnp.asarray(sbit), jnp.asarray(sout),
             jnp.asarray(lens))
@@ -227,8 +242,8 @@ class BlockCodec:
                 f"decode integrity failure in block(s) {bad.tolist()} "
                 f"(status {[int(status_np[i]) for i in bad]})")
         out = np.asarray(out)
-        parts = [out[b, :lens[b]].tobytes() for b in range(nblocks)]
-        result = b"".join(parts)
+        omask = np.arange(self.block)[None, :] < lens[:, None]
+        result = out[omask].tobytes()
         if len(result) != orig:
             raise ValueError(
                 f"decoded size {len(result)} != recorded {orig}")

@@ -36,17 +36,22 @@ def _jax_cache() -> None:
 
 def _compress(args) -> int:
     data = open(args.infile, "rb").read()
+    policy = "lazy" if args.lazy else "greedy"
     if args.container:
         _jax_cache()
         from .blocks import BlockCodec
-        out = BlockCodec(block=args.block).compress(data)
+        out = BlockCodec(block=args.block, policy=policy).compress(data)
     elif args.stream:
+        if args.lazy:
+            raise SystemExit("--lazy needs the device batch path "
+                             "(--blocks or --container)")
         from .stream import compress_stream
         out = compress_stream(data, feed_size=args.block)
     else:
         _jax_cache()
         from .blocks import BlockCodec
-        out = BlockCodec(block=args.block).compress(data, container=False)
+        out = BlockCodec(block=args.block, policy=policy).compress(
+            data, container=False)
     open(args.outfile, "wb").write(out)
     if args.verbose:
         ratio = len(out) / max(len(data), 1)
@@ -131,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
             p.add_argument("--blocks", action="store_true",
                            help="(default) raw concatenated per-block "
                                 "streams via the device batch pipeline")
+            p.add_argument("--lazy", action="store_true",
+                           help="1-token-lookahead match selection "
+                                "(usually smaller output; still a valid "
+                                "LZS stream, decodable by the reference "
+                                "decoder)")
         else:
             p.set_defaults(blocks=False, stream=False)
     return ap

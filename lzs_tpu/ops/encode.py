@@ -231,7 +231,7 @@ def _sync_records_batch(total_bits, offs, width, starts, off, n, span):
 def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
                  cap: int = spec.SEARCH_MATCH_MAX, chunk: int = 4096,
                  backend: str = "sort", sync: bool = False,
-                 span: int = SYNC_SPAN):
+                 span: int = SYNC_SPAN, policy: str = "greedy"):
     """Return a jitted batch encoder over fixed block size.
 
     Maps (uint8[B, block], int32[B]) -> (uint8[B, cap_bytes], int32[B])
@@ -240,9 +240,10 @@ def make_encoder(block: int, *, window: int = spec.WINDOW_SIZE,
     del block
     if sync:
         return functools.partial(encode_batch_sync, window=window, cap=cap,
-                                 chunk=chunk, backend=backend, span=span)
+                                 chunk=chunk, backend=backend, span=span,
+                                 policy=policy)
     return functools.partial(encode_batch, window=window, cap=cap,
-                             chunk=chunk, backend=backend)
+                             chunk=chunk, backend=backend, policy=policy)
 
 
 # ---------------------------------------------------------------------------

@@ -49,14 +49,20 @@ _POOL = 1 << 15                        # max match-search span per slice
 
 
 @functools.lru_cache(maxsize=16)
-def _matcher(pool: int, window: int, cap: int):
+def _matcher(pool: int, window: int, cap: int, backend: str = "sort"):
     import jax
     import jax.numpy as jnp
 
-    from .ops import sortmatch
+    from .ops import match, sortmatch
 
-    fn = jax.jit(functools.partial(sortmatch.best_matches,
-                                   window=window, cap=cap,
+    # backend="exhaustive" drives the brute-force windowed-compare plane
+    # (ops.match, the analogue of lzs_simple_compress_incremental's
+    # O(N*W) scan, lzs-compression-simple.c:435-647); both backends
+    # produce identical match decisions, so the streamed bytes are the
+    # same — pinned by test_stream.py::test_stream_exhaustive_backend.
+    base = (sortmatch.best_matches if backend == "sort"
+            else match.best_matches)
+    fn = jax.jit(functools.partial(base, window=window, cap=cap,
                                    chunk=min(4096, pool)))
 
     def run(arr: np.ndarray, n: int):
@@ -70,13 +76,14 @@ def _matcher(pool: int, window: int, cap: int):
 
 def _best_matches_host(arr: np.ndarray, n: int,
                        window: int = spec.WINDOW_SIZE,
-                       cap: int = spec.SEARCH_MATCH_MAX):
+                       cap: int = spec.SEARCH_MATCH_MAX,
+                       backend: str = "sort"):
     """Accelerated per-position match table over arr[:n] (n <= 32768)."""
     assert n <= _POOL, "match search supports spans up to 32768"
     pool = 256
     while pool < n:
         pool *= 2
-    return _matcher(pool, window, cap)(arr, n)
+    return _matcher(pool, window, cap, backend)(arr, n)
 
 
 class _BitSink:
@@ -127,6 +134,10 @@ class StreamCompressor:
     status: int = INPUT_STARVED
     total_in: int = 0
     total_out: int = 0
+    #: match-search backend: "sort" (fast path) or "exhaustive" (the
+    #: brute-force plane, the incremental counterpart of
+    #: lzs_simple_compress_incremental); identical output bytes
+    backend: str = "sort"
 
     def _check_state(self) -> bool:
         ok = (0 <= self.bit_n < 8
@@ -213,7 +224,8 @@ class StreamCompressor:
             # (the reference's INPUT_STARVED gate, lzs-compression.c:641-647)
             limit = n - (0 if (finish and whole) else _HOLD)
             arr = np.frombuffer(self.window + sub, np.uint8).astype(np.int32)
-            score, off, full = _best_matches_host(arr, n)
+            score, off, full = _best_matches_host(arr, n,
+                                                  backend=self.backend)
             i = ctx
             while i < limit:
                 if score[i] >= spec.MIN_MATCH:
@@ -454,21 +466,75 @@ class StreamDecompressor:
         return cls(**d)
 
 
-def compress_stream(data: bytes, feed_size: int = 1 << 16) -> bytes:
-    """Convenience: run the stream compressor over fixed-size feeds."""
+def _native_mod():
+    """The C++ streaming runtime, or None when unavailable."""
+    try:
+        from .utils import native
+
+        native.load()
+        return native
+    except Exception:  # noqa: BLE001 — no toolchain / load failure
+        return None
+
+
+def compress_stream(data: bytes, feed_size: int = 1 << 16,
+                    engine: str = "auto") -> bytes:
+    """Convenience: run a stream compressor over fixed-size feeds.
+
+    ``engine="auto"`` uses the native C++ streaming encoder (byte-
+    identical output, measured ~3-6x the reference CLI's encode rate)
+    and falls back to the pure-Python ``StreamCompressor``;
+    ``engine="python"`` forces the Python class (the checkpointable
+    pytree-state surface the parity tests drive).
+    """
+    nat = _native_mod() if engine == "auto" else None
+    if nat is not None:
+        enc = nat.StreamEncoder()
+        out = []
+        try:
+            for ofs in range(0, len(data), feed_size):
+                out.append(enc.feed(data[ofs:ofs + feed_size])[0])
+            out.append(enc.feed(b"", finish=True)[0])
+        finally:
+            enc.close()
+        return b"".join(out)
     c = StreamCompressor()
-    out = bytearray()
+    buf = bytearray()
     for ofs in range(0, len(data), feed_size):
-        out += c.feed(data[ofs:ofs + feed_size])
-    out += c.finish()
-    return bytes(out)
+        buf += c.feed(data[ofs:ofs + feed_size])
+    buf += c.finish()
+    return bytes(buf)
 
 
 def decompress_stream(data: bytes, feed_size: int = 1 << 16,
-                      stop_at_end: bool = False) -> bytes:
-    """Convenience: run the stream decompressor over fixed-size feeds."""
+                      stop_at_end: bool = False,
+                      engine: str = "auto") -> bytes:
+    """Convenience: run a stream decompressor over fixed-size feeds.
+
+    ``engine`` as in :func:`compress_stream`; the native decoder always
+    crosses end markers, so ``stop_at_end`` forces the Python class.
+    """
+    nat = (_native_mod()
+           if engine == "auto" and not stop_at_end else None)
+    if nat is not None:
+        dec = nat.StreamDecoder()
+        out = []
+        try:
+            for ofs in range(0, max(len(data), 1), feed_size):
+                piece = data[ofs:ofs + feed_size]
+                cap = 1 << 16
+                while True:
+                    chunk, st = dec.feed(piece, out_cap=cap)
+                    out.append(chunk)
+                    piece = b""
+                    if not st & nat.OUTPUT_FULL:
+                        break
+                    cap = min(cap * 2, 1 << 24)
+        finally:
+            dec.close()
+        return b"".join(out)
     d = StreamDecompressor(stop_at_end=stop_at_end)
-    out = bytearray()
+    buf = bytearray()
     for ofs in range(0, max(len(data), 1), feed_size):
-        out += d.feed(data[ofs:ofs + feed_size])
-    return bytes(out)
+        buf += d.feed(data[ofs:ofs + feed_size])
+    return bytes(buf)

@@ -137,7 +137,7 @@ class StreamEncoder:
              out_cap: Optional[int] = None) -> Tuple[bytes, int]:
         cap = out_cap if out_cap is not None else (
             spec.compressed_max(len(data)) + (1 << 16))
-        out = np.zeros(cap, np.uint8)
+        out = np.empty(cap, np.uint8)   # fully overwritten up to out_used
         x = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
         iu, ou = ctypes.c_size_t(0), ctypes.c_size_t(0)
         st = self._lib.lzs_nat_enc_feed(self._h, _u8(x), len(data),
@@ -165,7 +165,7 @@ class StreamDecoder:
         self._h = self._lib.lzs_nat_dec_new()
 
     def feed(self, data: bytes, out_cap: int = 1 << 20) -> Tuple[bytes, int]:
-        out = np.zeros(out_cap, np.uint8)
+        out = np.empty(out_cap, np.uint8)  # fully overwritten up to out_used
         x = np.frombuffer(data, np.uint8) if data else np.zeros(1, np.uint8)
         iu, ou = ctypes.c_size_t(0), ctypes.c_size_t(0)
         st = self._lib.lzs_nat_dec_feed(self._h, _u8(x), len(data),

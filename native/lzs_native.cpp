@@ -274,8 +274,21 @@ size_t lzs_nat_decompress(const uint8_t* in, size_t n, uint8_t* out,
     if (r.remaining() < static_cast<size_t>(width)) break;
     r.take(width);
     auto copy = [&](int count) {
-      for (int k = 0; k < count && o < cap; ++k, ++o)
-        out[o] = (o >= static_cast<size_t>(offset)) ? out[o - offset] : 0;
+      int k = 0;
+      for (; k < count && o < cap && o < static_cast<size_t>(offset);
+           ++k, ++o)
+        out[o] = 0;  // before start of output: zero-fill semantics
+      while (k < count && o < cap) {
+        size_t run = static_cast<size_t>(count - k);
+        if (run > cap - o) run = cap - o;
+        if (static_cast<size_t>(offset) >= run) {
+          std::memcpy(out + o, out + o - offset, run);
+        } else {
+          for (size_t t = 0; t < run; ++t) out[o + t] = out[o + t - offset];
+        }
+        o += run;
+        k += static_cast<int>(run);
+      }
     };
     copy(len);
     if (len == kMaxShortLen) {
@@ -412,15 +425,6 @@ struct LzsNatDecoder {
   int pending = 0;              // copy bytes owed from a token already parsed
   int markers = 0;
 
-  void push_hist(uint8_t b) {
-    hist.push_back(b);
-    if (hist.size() > 2 * static_cast<size_t>(kWindow))
-      hist.erase(hist.begin(), hist.end() - kWindow);
-  }
-  uint8_t back(int off) const {
-    return off <= static_cast<int>(hist.size())
-               ? hist[hist.size() - off] : 0;
-  }
 };
 
 LzsNatDecoder* lzs_nat_dec_new() { return new LzsNatDecoder(); }
@@ -437,12 +441,31 @@ int lzs_nat_dec_feed(LzsNatDecoder* d, const uint8_t* in, size_t n,
   r.set_bitpos(d->inbit);
   size_t o = 0;
   int status = 0;
+  // Snapshot the pre-feed history once; during the feed the window is
+  // (h0 tail + out[0..o)), so copies read straight out of the output
+  // buffer in bulk instead of a per-byte vector push (the old per-byte
+  // push_hist measured ~0.65x the reference CLI's decode rate).
+  const std::vector<uint8_t> h0(d->hist);
+  const size_t hs = h0.size();
   auto copy = [&](int count) -> int {  // returns bytes copied
     int k = 0;
-    for (; k < count && o < cap; ++k, ++o) {
-      uint8_t b = d->back(d->cur_off);
-      out[o] = b;
-      d->push_hist(b);
+    const int off = d->cur_off;
+    // prefix while the source still reaches into pre-feed history
+    for (; k < count && o < cap && o < static_cast<size_t>(off);
+         ++k, ++o) {
+      size_t back = static_cast<size_t>(off) - o;
+      out[o] = back <= hs ? h0[hs - back] : 0;
+    }
+    while (k < count && o < cap) {
+      size_t run = static_cast<size_t>(count - k);
+      if (run > cap - o) run = cap - o;
+      if (static_cast<size_t>(off) >= run) {
+        std::memcpy(out + o, out + o - off, run);
+      } else {
+        for (size_t t = 0; t < run; ++t) out[o + t] = out[o + t - off];
+      }
+      o += run;
+      k += static_cast<int>(run);
     }
     return k;
   };
@@ -465,9 +488,7 @@ int lzs_nat_dec_feed(LzsNatDecoder* d, const uint8_t* in, size_t n,
       if (r.remaining() < 9) { status |= LZS_NAT_INPUT_STARVED; break; }
       if (o >= cap) { status |= LZS_NAT_OUTPUT_FULL; break; }
       r.take(1);
-      uint8_t b = static_cast<uint8_t>(r.take(8));
-      out[o++] = b;
-      d->push_hist(b);
+      out[o++] = static_cast<uint8_t>(r.take(8));
       continue;
     }
     // match or end marker
@@ -507,6 +528,14 @@ int lzs_nat_dec_feed(LzsNatDecoder* d, const uint8_t* in, size_t n,
     if (len == kMaxShortLen) d->mode = 1;  // extension follows this copy
     d->pending = len - copy(len);
     if (d->pending) { status |= LZS_NAT_OUTPUT_FULL; break; }
+  }
+  // rebuild the carried window from (pre-feed history + this output)
+  if (o >= static_cast<size_t>(kWindow)) {
+    d->hist.assign(out + o - kWindow, out + o);
+  } else if (o) {
+    d->hist.insert(d->hist.end(), out, out + o);
+    if (d->hist.size() > static_cast<size_t>(kWindow))
+      d->hist.erase(d->hist.begin(), d->hist.end() - kWindow);
   }
   // drop consumed whole bytes from inbuf
   size_t done_bytes = r.bitpos() >> 3;

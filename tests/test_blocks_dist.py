@@ -168,3 +168,44 @@ def test_container_wrong_magic_and_version(codec):
         codec.decompress(blob[:4] + bytes([99]) + blob[5:])
     with pytest.raises(ValueError):
         codec.decompress(b"")
+
+
+def test_lazy_policy_container_roundtrip():
+    """BlockCodec(policy="lazy"): container flags byte records the policy,
+    output round-trips, and the lazy stream is never larger than greedy
+    on this corpus (the 1-token-lookahead refinement of the C greedy
+    policy, lzs-compression.c:326-362)."""
+    data = make_corpus(9000, seed=9)
+    lazy = BlockCodec(block=2048, policy="lazy")
+    greedy = BlockCodec(block=2048)
+    blob = lazy.compress(data)
+    from lzs_tpu.blocks import FLAG_LAZY
+    assert blob[5] & FLAG_LAZY
+    assert not greedy.compress(data)[5] & FLAG_LAZY
+    assert lazy.decompress(blob) == data
+    # greedy codec object decodes a lazy container too (decode is
+    # policy-free; the flag is provenance metadata)
+    assert greedy.decompress(blob) == data
+    raw_l = lazy.compress(data, container=False)
+    raw_g = greedy.compress(data, container=False)
+    assert len(raw_l) <= len(raw_g)
+    # lazy raw streams stay reference-decodable LZS (the incremental
+    # decoder semantics cross block end markers)
+    assert ref.lzs_decompress(raw_l, stop_at_end=False) == data
+
+
+def test_cli_lazy_flag(tmp_path):
+    from lzs_tpu import cli
+
+    data = make_corpus(6000, seed=11)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    outc = tmp_path / "out.lzst"
+    assert cli.main(["compress", "--container", "--lazy",
+                     "--block", "2048", str(src), str(outc)]) == 0
+    blob = outc.read_bytes()
+    from lzs_tpu.blocks import FLAG_LAZY
+    assert blob[5] & FLAG_LAZY
+    dec = tmp_path / "dec.bin"
+    assert cli.main(["decompress", str(outc), str(dec)]) == 0
+    assert dec.read_bytes() == data

@@ -214,3 +214,17 @@ def test_extension_state_checkpoint_mid_run():
     out += c2.feed(data[30000:])
     out += c2.finish()
     assert out == one
+
+
+def test_stream_exhaustive_backend():
+    """C5's incremental brute-force variant: StreamCompressor with
+    backend="exhaustive" (the ops.match O(N*W) plane — the counterpart
+    of lzs_simple_compress_incremental, lzs-compression-simple.c:435-647)
+    streams byte-identical output to the sort backend and the one-shot
+    reference."""
+    sc = stream.StreamCompressor(backend="exhaustive")
+    out = bytearray()
+    for i in range(0, len(SMALL), 277):
+        out += sc.feed(SMALL[i:i + 277])
+    out += sc.feed(finish=True)
+    assert bytes(out) == SMALL_ONE_SHOT
