@@ -119,11 +119,23 @@ def _rank_kernel(mask_ref, out_ref):
     out_ref[:] = acc - m                 # exclusive
 
 
+def _pick_rb(rows: int, width: int, arrays: int = 2) -> int:
+    """Rows per program: as many as fit ~12 MB of VMEM across
+    ``arrays`` live (rb, width) int32 buffers (tiny tiles otherwise
+    drown in per-program launch overhead)."""
+    cap = max(8, (5 << 20) // max(4 * width * arrays, 1)) & ~7
+    rb = _ROWS
+    while rb * 2 <= cap and rows % (rb * 2) == 0:
+        rb *= 2
+    return rb if rows % rb == 0 else rows
+
+
 def _call(kernel, operands, n_out=1, interp=None):
     if interp is None:
         interp = _interpret()
     b, npos = operands[0].shape
-    rb = _ROWS if b % _ROWS == 0 else b
+    rb = (_pick_rb(b, npos, max(2, len(operands) + n_out))
+          if b % _ROWS == 0 else b)
     spec2 = pl.BlockSpec((rb, npos), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
 
@@ -177,3 +189,113 @@ def _cummax_kernel(v_ref, out_ref):
 def cummax_rows(v):
     """Row-wise prefix cumulative max of int32[B, N] (Pallas roll-scan)."""
     return _call(_cummax_kernel, [v])
+
+
+def _cumsum_kernel(v_ref, out_ref):
+    v = v_ref[:]
+    w = v.shape[-1]
+    j = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    sh = 1
+    while sh < w:
+        r = pltpu.roll(v, sh, axis=1)
+        v = jnp.where(j >= sh, v + r, v)
+        sh *= 2
+    out_ref[:] = v
+
+
+def cumsum_rows_wide(v, tile: int = 8192):
+    """Inclusive row cumsum of int32[B, N] for very wide rows.
+
+    Two-stage: Pallas roll-scan per ``tile``-wide piece, a tiny XLA
+    cumsum over per-tile totals, and a broadcast add. XLA's native
+    cumsum costs ~15+ ms at (256, 294912); this measures ~2 ms.
+    Requires N % tile == 0.
+    """
+    b, n = v.shape
+    if n <= tile:
+        return _call(_cumsum_kernel, [v])
+    assert n % tile == 0, (n, tile)
+    nt = n // tile
+    parts = _call(_cumsum_kernel, [v.reshape(b * nt, tile)])
+    parts = parts.reshape(b, nt, tile)
+    totals = parts[:, :, -1]
+    base = jnp.cumsum(totals, axis=1) - totals       # (B, nt): tiny
+    return (parts + base[:, :, None]).reshape(b, n)
+
+
+def _affine_rscan_kernel(a_ref, g_ref, out_ref):
+    """Suffix solve of y[t] = a[t] + g[t] * y[t+1] (y past end = 0)."""
+    y = a_ref[:]
+    gp = g_ref[:]
+    rows, w = y.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    sh = 1
+    while sh < w:
+        ok = j < w - sh
+        ys = pltpu.roll(y, w - sh, axis=1)           # y[t + sh]
+        gs = pltpu.roll(gp, w - sh, axis=1)
+        y = jnp.where(ok, y + gp * ys, y)
+        gp = jnp.where(ok, gp * gs, gp)
+        sh *= 2
+    out_ref[:] = y
+
+
+def _affine_carry_kernel(a_ref, g_ref, y_ref, gp_ref):
+    y = a_ref[:]
+    gp = g_ref[:]
+    rows, w = y.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
+    sh = 1
+    while sh < w:
+        ok = j < w - sh
+        ys = pltpu.roll(y, w - sh, axis=1)
+        gs = pltpu.roll(gp, w - sh, axis=1)
+        y = jnp.where(ok, y + gp * ys, y)
+        gp = jnp.where(ok, gp * gs, gp)
+        sh *= 2
+    y_ref[:] = y
+    gp_ref[:] = gp
+
+
+def affine_rscan_rows(a, g, tile: int = 8192):
+    """Row-wise suffix linear recurrence y[t] = a[t] + g[t] * y[t+1].
+
+    a int32, g int32 in {0, 1} (so products never overflow). Wide rows
+    run tiled: per-tile Pallas scans emit (y_local, g_product), the
+    small per-tile recurrence solves in XLA, and the carry folds back in
+    one elementwise pass.
+    """
+    b, n = a.shape
+    if n <= tile:
+        return _call(_affine_rscan_kernel, [a, g])
+    assert n % tile == 0, (n, tile)
+    nt = n // tile
+
+    def call2(aa, gg):
+        bb, npos = aa.shape
+        rb = _pick_rb(bb, npos, 4) if bb % _ROWS == 0 else bb
+        spec2 = pl.BlockSpec((rb, npos), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            _affine_carry_kernel,
+            grid=(bb // rb,),
+            in_specs=[spec2, spec2],
+            out_specs=[spec2, spec2],
+            out_shape=[jax.ShapeDtypeStruct((bb, npos), jnp.int32)] * 2,
+            interpret=_interpret(),
+        )(aa, gg)
+
+    yl, gpl = call2(a.reshape(b * nt, tile), g.reshape(b * nt, tile))
+    yl = yl.reshape(b, nt, tile)
+    gpl = gpl.reshape(b, nt, tile)
+    # per-tile summaries: y of the tile head, g-product of the tile;
+    # the cross-tile recurrence (nt <= ~40) runs as a reverse XLA scan
+    yt = yl[:, :, 0]
+    gt = gpl[:, :, 0]
+    carry = jnp.zeros((b,), jnp.int32)
+    carries = []
+    for ti in range(nt - 1, -1, -1):
+        carries.append(carry)
+        carry = yt[:, ti] + gt[:, ti] * carry
+    carr = jnp.stack(carries[::-1], axis=1)          # (B, nt): y past tile
+    return (yl + gpl * carr[:, :, None]).reshape(b, n)

@@ -10,10 +10,14 @@ overhead with plain core contention. SCALING.json therefore reports BOTH:
                                                  host had >= N free cores)
   efficiency       = t_1 * max(1, N/ncores) / t_N
                      (vs the core-bound ideal: N devices on C cores can at
-                      best run N/C times longer under N-times the work;
-                      deviation from 1.0 is sharding/collective overhead,
-                      which is what a real N-chip mesh would add on top of
-                      per-chip compute)
+                      best run N/C times longer under N-times the work)
+  efficiency_calibrated = t_single(N*W) / t_N
+                     (MEASURED reference: the same TOTAL workload run as
+                      one unsharded single-device program on this host —
+                      it shares the cores exactly like the mesh run does,
+                      so any gap is pure sharding/collective overhead,
+                      which is what a real N-chip mesh would add on top
+                      of per-chip compute)
 
 Usage: python scripts/scaling_bench.py [--per-dev-blocks N] [--block N]
 """
@@ -90,11 +94,22 @@ def main() -> None:
             jax.block_until_ready(out)
             return out
 
+        # calibration: the same TOTAL work as ONE unsharded program on
+        # device 0 — the measured contention reference curve
+        def run_single():
+            comp, clens, sbit, sout, nsync = enc_local(jnp.asarray(x),
+                                                       jnp.asarray(n))
+            out = dec_local(comp, sbit, sout, jnp.asarray(n))
+            jax.block_until_ready(out)
+            return out
+
         out = run()                                   # compile + correctness
         assert bytes(np.asarray(out)[0]) == bytes(x[0])
         run_ng()
+        run_single()
         best = float("inf")
         best_ng = float("inf")
+        best_1 = float("inf")
         for _ in range(args.reps):
             t0 = time.perf_counter()
             run()
@@ -102,6 +117,9 @@ def main() -> None:
             t0 = time.perf_counter()
             run_ng()
             best_ng = min(best_ng, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            run_single()
+            best_1 = min(best_1, time.perf_counter() - t0)
         share = max(0.0, (best - best_ng) / best)
         rows.append({"devices": ndev, "blocks": nblocks,
                      "bytes": int(nblocks * args.block),
@@ -109,10 +127,12 @@ def main() -> None:
                                              * args.block),
                      "wall_s": round(best, 4),
                      "wall_no_gather_s": round(best_ng, 4),
+                     "wall_single_dev_s": round(best_1, 4),
                      "collective_share": round(share, 3)})
         print(f"{ndev} devices: {nblocks} blocks, {best*1e3:.1f} ms "
-              f"(no-gather {best_ng*1e3:.1f} ms, collective share "
-              f"{share:.1%})", file=sys.stderr)
+              f"(no-gather {best_ng*1e3:.1f} ms, single-dev same work "
+              f"{best_1*1e3:.1f} ms, collective share {share:.1%})",
+              file=sys.stderr)
 
     ncores = os.cpu_count() or 1
     t1 = rows[0]["wall_s"]
@@ -120,9 +140,12 @@ def main() -> None:
         n = r["devices"]
         r["efficiency_raw"] = round(t1 / r["wall_s"], 3)
         r["efficiency"] = round(t1 * max(1, n / ncores) / r["wall_s"], 3)
-    print(f"host cores: {ncores}; core-bound weak-scaling efficiency: "
-          f"{[r['efficiency'] for r in rows]} "
-          f"(raw: {[r['efficiency_raw'] for r in rows]})", file=sys.stderr)
+        r["efficiency_calibrated"] = round(
+            r["wall_single_dev_s"] / r["wall_s"], 3)
+    print(f"host cores: {ncores}; calibrated weak-scaling efficiency: "
+          f"{[r['efficiency_calibrated'] for r in rows]} "
+          f"(model: {[r['efficiency'] for r in rows]}, "
+          f"raw: {[r['efficiency_raw'] for r in rows]})", file=sys.stderr)
     out = {"kind": "weak_scaling_cpu_mesh", "host_cores": ncores,
            "rows": rows}
     with open("SCALING.json", "w") as f:
