@@ -438,6 +438,11 @@ def _run(args, record) -> None:
             label="lazy encode")
         lr = int(np.asarray(lclens).sum()) / nbytes
         record["lazy_ratio"] = round(lr, 4)
+        # framing: corpus-specific figure, NOT comparable with
+        # BASELINE.md's 0.31 C-source-text ratio; greedy size parity
+        # with the C encoder is automatic (byte-identical streams)
+        record["ratio_note"] = "corpus-specific; greedy == C encoder bytes"
+
         print(f"lazy ratio: {lr:.4f} (greedy {record['ratio']})",
               file=sys.stderr)
 

@@ -82,7 +82,7 @@ def _pipeline_batch(x, n, window, cap, chunk, backend, policy="greedy"):
         full = jnp.where(defer, 1, full)
     else:
         assert policy == "greedy", policy
-    value, width, starts, length = jax.vmap(tokenize.emission_units)(
+    value, width, starts, length = tokenize.emission_units_batch(
         x, n, score, off, full)
     # the end marker splices into the packed words arithmetically — an
     # N+1-th unit column would make every pack sort width-32769, which

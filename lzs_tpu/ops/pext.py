@@ -223,79 +223,3 @@ def cumsum_rows_wide(v, tile: int = 8192):
     return (parts + base[:, :, None]).reshape(b, n)
 
 
-def _affine_rscan_kernel(a_ref, g_ref, out_ref):
-    """Suffix solve of y[t] = a[t] + g[t] * y[t+1] (y past end = 0)."""
-    y = a_ref[:]
-    gp = g_ref[:]
-    rows, w = y.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-    sh = 1
-    while sh < w:
-        ok = j < w - sh
-        ys = pltpu.roll(y, w - sh, axis=1)           # y[t + sh]
-        gs = pltpu.roll(gp, w - sh, axis=1)
-        y = jnp.where(ok, y + gp * ys, y)
-        gp = jnp.where(ok, gp * gs, gp)
-        sh *= 2
-    out_ref[:] = y
-
-
-def _affine_carry_kernel(a_ref, g_ref, y_ref, gp_ref):
-    y = a_ref[:]
-    gp = g_ref[:]
-    rows, w = y.shape
-    j = jax.lax.broadcasted_iota(jnp.int32, (rows, w), 1)
-    sh = 1
-    while sh < w:
-        ok = j < w - sh
-        ys = pltpu.roll(y, w - sh, axis=1)
-        gs = pltpu.roll(gp, w - sh, axis=1)
-        y = jnp.where(ok, y + gp * ys, y)
-        gp = jnp.where(ok, gp * gs, gp)
-        sh *= 2
-    y_ref[:] = y
-    gp_ref[:] = gp
-
-
-def affine_rscan_rows(a, g, tile: int = 8192):
-    """Row-wise suffix linear recurrence y[t] = a[t] + g[t] * y[t+1].
-
-    a int32, g int32 in {0, 1} (so products never overflow). Wide rows
-    run tiled: per-tile Pallas scans emit (y_local, g_product), the
-    small per-tile recurrence solves in XLA, and the carry folds back in
-    one elementwise pass.
-    """
-    b, n = a.shape
-    if n <= tile:
-        return _call(_affine_rscan_kernel, [a, g])
-    assert n % tile == 0, (n, tile)
-    nt = n // tile
-
-    def call2(aa, gg):
-        bb, npos = aa.shape
-        rb = _pick_rb(bb, npos, 4) if bb % _ROWS == 0 else bb
-        spec2 = pl.BlockSpec((rb, npos), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-        return pl.pallas_call(
-            _affine_carry_kernel,
-            grid=(bb // rb,),
-            in_specs=[spec2, spec2],
-            out_specs=[spec2, spec2],
-            out_shape=[jax.ShapeDtypeStruct((bb, npos), jnp.int32)] * 2,
-            interpret=_interpret(),
-        )(aa, gg)
-
-    yl, gpl = call2(a.reshape(b * nt, tile), g.reshape(b * nt, tile))
-    yl = yl.reshape(b, nt, tile)
-    gpl = gpl.reshape(b, nt, tile)
-    # per-tile summaries: y of the tile head, g-product of the tile;
-    # the cross-tile recurrence (nt <= ~40) runs as a reverse XLA scan
-    yt = yl[:, :, 0]
-    gt = gpl[:, :, 0]
-    carry = jnp.zeros((b,), jnp.int32)
-    carries = []
-    for ti in range(nt - 1, -1, -1):
-        carries.append(carry)
-        carry = yt[:, ti] + gt[:, ti] * carry
-    carr = jnp.stack(carries[::-1], axis=1)          # (B, nt): y past tile
-    return (yl + gpl * carr[:, :, None]).reshape(b, n)

@@ -203,3 +203,57 @@ def emission_units(x: jnp.ndarray, n: jnp.ndarray, score: jnp.ndarray,
     value = jnp.where(starts, head_v, jnp.where(is_nib, nib_v, 0))
     width = jnp.where(starts, head_w, jnp.where(is_nib, 4, 0))
     return value, width, starts, length
+
+
+def emission_units_batch(x: jnp.ndarray, n: jnp.ndarray,
+                         score: jnp.ndarray, off: jnp.ndarray,
+                         full: jnp.ndarray):
+    """Batched emission_units over (B, N) arrays.
+
+    Same results as ``jax.vmap(emission_units)``; the two ownership
+    scans run as pext roll-scan kernels instead of vmapped XLA
+    cummax/cummin (which cost ~2-3 ms at the (256, 32768) bench shape).
+    """
+    from . import pext
+
+    b, npos = x.shape
+    i = jnp.broadcast_to(jnp.arange(npos, dtype=jnp.int32)[None, :],
+                         (b, npos))
+    nq = n[:, None]
+    is_match = (score >= spec.MIN_MATCH) & (i < nq)
+    length = jnp.where(is_match, full, 1)
+    starts = jax.vmap(token_starts)(jnp.where(i < nq, length, 1), n)
+
+    initial = jnp.clip(jnp.minimum(length, spec.MAX_SHORT_LENGTH), 2, 8)
+    short_code = initial < 5
+    lv = jnp.where(short_code, initial - 2, initial + 7)
+    lw = jnp.where(short_code, 2, 4)
+    short = off <= spec.SHORT_OFFSET_MAX
+    off_field = jnp.where(short, (1 << spec.SHORT_OFFSET_BITS) | off, off)
+    off_width = jnp.where(short, 1 + spec.SHORT_OFFSET_BITS,
+                          1 + spec.LONG_OFFSET_BITS)
+    match_v = ((((jnp.int32(1) << off_width) | off_field) << lw) | lv)
+    match_w = 1 + off_width + lw
+    head_v = jnp.where(is_match, match_v, x.astype(jnp.int32))
+    head_w = jnp.where(is_match, match_w, 9)
+
+    key = jnp.where(starts, (i << 1) | is_match.astype(jnp.int32), -1)
+    ck = pext.cummax_rows(key)
+    owner = ck >> 1
+    own_match = (ck & 1) == 1
+    nstart = jnp.where(starts, i, _BIG)
+    rc = pext.rcummin_rows(nstart)                   # next start >= j
+    own_len = jnp.minimum(rc, nq) - owner            # token length at j
+
+    t = i - owner - 1
+    rest = own_len - spec.MAX_SHORT_LENGTH
+    q = jnp.maximum(rest, 0) // spec.MAX_EXTENDED_LENGTH
+    is_nib = ((~starts) & (owner >= 0) & own_match
+              & (own_len >= spec.MAX_SHORT_LENGTH)
+              & (t < q + 1) & (i < nq))
+    nib_v = jnp.where(t < q, spec.MAX_EXTENDED_LENGTH,
+                      rest - q * spec.MAX_EXTENDED_LENGTH)
+
+    value = jnp.where(starts, head_v, jnp.where(is_nib, nib_v, 0))
+    width = jnp.where(starts, head_w, jnp.where(is_nib, 4, 0))
+    return value, width, starts, length

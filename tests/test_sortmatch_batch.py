@@ -141,3 +141,28 @@ def test_exhaustive_backend_matches_sort_backend():
     cs, ns = encode_block(sj, nj, backend="sort")
     assert int(ne) == int(ns)
     np.testing.assert_array_equal(np.asarray(ce), np.asarray(cs))
+
+
+def test_emission_units_batch_matches_vmapped():
+    """The batched emission path (pext roll-scan ownership) must equal
+    the per-block emission_units oracle."""
+    from lzs_tpu.ops import tokenize
+
+    rng = np.random.default_rng(12)
+    b, npos = 3, 2048
+    kinds = [lambda: rng.integers(97, 101, npos),
+             lambda: np.repeat(rng.integers(0, 256, npos // 32),
+                               32)[:npos],
+             lambda: rng.integers(0, 256, npos)]
+    x = np.stack([kinds[i % 3]().astype(np.int32) for i in range(b)])
+    n = np.array([npos, npos - 13, 901], np.int32)
+    for i in range(b):
+        x[i, n[i]:] = 0
+    sj, nj = jnp.asarray(x), jnp.asarray(n)
+    score, off, full = jax.jit(sortmatch.best_matches_batch)(sj, nj)
+    got = jax.jit(lambda: tokenize.emission_units_batch(
+        sj, nj, score, off, full))()
+    want = jax.jit(jax.vmap(tokenize.emission_units))(
+        sj, nj, score, off, full)
+    for gg, ww in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(gg), np.asarray(ww))
