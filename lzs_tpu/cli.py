@@ -75,6 +75,7 @@ def _decompress_raw_device(data: bytes):
         import numpy as np
         import jax.numpy as jnp
 
+        from .ops import bitpar
         from .ops import decode as dec_ops
 
         n = len(data)
@@ -85,6 +86,12 @@ def _decompress_raw_device(data: bytes):
         max_units = in_cap * 2 + 16
         cap = 1 << max(12, (4 * n - 1).bit_length())
         while cap <= max(16 * n, 1 << 12):
+            if cap > bitpar.MAX_OUT_CAP:
+                # past the parallel engine's record packing bound the
+                # device path would fall to the bit-serial scan —
+                # orders of magnitude slower than the native host
+                # streaming decoder the caller falls back to
+                return None
             out, out_len, _ = dec_ops.decode_block(
                 comp, jnp.int32(n), out_cap=cap, max_units=max_units,
                 multi_stream=True)
