@@ -262,7 +262,8 @@ def run_stream_bench(record, data: bytes) -> None:
     record["stream_decode_mbps"] = round(len(piece) / dec_s / 1e6, 2)
 
     small = data[:1 << 16]
-    stream.compress_stream(small[:4096], engine="python")  # warm the jit
+    # warm the matcher jit at the same pool shape before timing
+    stream.compress_stream(small, feed_size=1 << 15, engine="python")
     t0 = time.perf_counter()
     pc = stream.compress_stream(small, feed_size=1 << 15, engine="python")
     penc_s = time.perf_counter() - t0
