@@ -195,7 +195,7 @@ def _filled_records(recs: jnp.ndarray) -> jnp.ndarray:
     nondecreasing — the form pexpand.expand_records walks. Padded to a
     multiple of 128 slots (>= pexpand._RW).
     """
-    from . import pexpand
+    from . import pexpand, pext
 
     b = recs.shape[0]
     flat = jnp.swapaxes(recs, 1, 2).reshape(b, -1)
@@ -204,7 +204,7 @@ def _filled_records(recs: jnp.ndarray) -> jnp.ndarray:
     if want != s:
         flat = jnp.concatenate(
             [flat, jnp.full((b, want - s), -1, jnp.int32)], axis=1)
-    return jax.lax.cummax(jnp.where(flat >= 0, flat, -1), axis=1)
+    return pext.cummax_rows(jnp.where(flat >= 0, flat, -1))
 
 
 @functools.partial(jax.jit, static_argnames=("out_cap", "span", "chunk"))

@@ -166,3 +166,28 @@ def test_emission_units_batch_matches_vmapped():
         sj, nj, score, off, full)
     for gg, ww in zip(got, want):
         np.testing.assert_array_equal(np.asarray(gg), np.asarray(ww))
+
+
+def test_pext_scan_kernels_match_xla():
+    """Direct pins for the pext roll-scan kernels (interpret mode)
+    against the XLA reference forms."""
+    from lzs_tpu.ops import pext
+
+    rng = np.random.default_rng(31)
+    for b, w in ((8, 1024), (3, 512)):
+        v = jnp.asarray(rng.integers(-1000, 1000, (b, w)).astype(np.int32))
+        np.testing.assert_array_equal(
+            np.asarray(pext.cummax_rows(v)),
+            np.asarray(jax.lax.cummax(v, axis=1)))
+        np.testing.assert_array_equal(
+            np.asarray(pext.rcummin_rows(v)),
+            np.asarray(jax.lax.cummin(v, axis=1, reverse=True)))
+        m = v > 0
+        np.testing.assert_array_equal(
+            np.asarray(pext.rank_mask(m)),
+            np.asarray(jnp.cumsum(m.astype(jnp.int32), axis=1)
+                       - m.astype(jnp.int32)))
+    wide = jnp.asarray(rng.integers(0, 25, (4, 4096)).astype(np.int32))
+    np.testing.assert_array_equal(
+        np.asarray(pext.cumsum_rows_wide(wide, tile=512)),
+        np.asarray(jnp.cumsum(wide, axis=1)))
